@@ -1,0 +1,553 @@
+"""Core layer library for the TPU-native MicroDiT rebuild.
+
+Each layer documents the reference behavior it reproduces (citations are file:line into
+/root/reference). Numerics policy: parameters are fp32, compute is bf16 by default
+(matching the reference's amp_bf16 + low-precision-layernorm setup, train.py:81-84,113),
+with fp32 softmax/normalization statistics.
+
+Initialization matches dit.py:577-627 / utils.py:138-141,199-201. Note on "trunc_normal":
+torch ``nn.init.trunc_normal_`` defaults truncate at absolute [-2, 2], which for std=0.02
+is ~100 sigma - i.e. effectively an untruncated normal - so we use plain normal
+initializers of the same std.
+"""
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+
+Initializer = Callable[..., Any]
+
+# --------------------------------------------------------------------------------------
+# Initializers
+# --------------------------------------------------------------------------------------
+
+xavier_uniform = jax.nn.initializers.xavier_uniform()
+zeros_init = jax.nn.initializers.zeros
+
+
+def normal_init(std: float) -> Initializer:
+    return jax.nn.initializers.normal(stddev=std)
+
+
+def patch_embed_kernel_init(key, shape, dtype=jnp.float32):
+    """Xavier-uniform over the flattened (out, in*p*p) conv kernel (dit.py:599-600).
+
+    The conv kernel shape in flax is (p, p, C, D); torch flattens it to (D, C*p*p) before
+    xavier, giving fan_in = C*p*p, fan_out = D (jax's conv xavier would use fan_out = D*p*p).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    fan_out = shape[3]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+def torch_linear_bias_init(fan_in: int) -> Initializer:
+    """torch nn.Linear/Conv default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# --------------------------------------------------------------------------------------
+# Normalization / modulation
+# --------------------------------------------------------------------------------------
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """x * (1 + scale[:, None]) + shift[:, None] (reference utils.py:28-30)."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm matching reference create_norm (utils.py:71-78).
+
+    'layernorm'    -> affine scale, no bias (use_scale=True)
+    'np_layernorm' -> no affine at all      (use_scale=False)
+    Statistics are computed in fp32; output is cast back to the compute dtype.
+    """
+
+    dim: int
+    eps: float = 1e-6
+    use_scale: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            w = self.param("weight", jax.nn.initializers.ones, (self.dim,), jnp.float32)
+            y = y * w
+        return y.astype(orig_dtype)
+
+
+class Dense(nn.Module):
+    """nn.Dense wrapper with torch-Linear-compatible defaults (xavier kernel, zero bias)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Initializer = xavier_uniform
+    bias_init: Initializer = zeros_init
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="linear",
+        )(x)
+
+
+# --------------------------------------------------------------------------------------
+# MLPs
+# --------------------------------------------------------------------------------------
+
+
+class Mlp(nn.Module):
+    """timm-style MLP: fc1 -> act -> (norm) -> fc2 (reference utils.py:34-68)."""
+
+    in_features: int
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    use_norm: bool = False
+    use_bias: bool = True
+    norm_eps: float = 1e-6
+    fc1_init: Initializer = xavier_uniform
+    fc2_init: Initializer = xavier_uniform
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = self.hidden_features or self.in_features
+        out = self.out_features or self.in_features
+        x = nn.Dense(
+            hidden, use_bias=self.use_bias, kernel_init=self.fc1_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=True)
+        if self.use_norm:
+            x = LayerNorm(hidden, eps=self.norm_eps, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(
+            out, use_bias=self.use_bias, kernel_init=self.fc2_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="fc2",
+        )(x)
+        return x
+
+
+class FeedForward(nn.Module):
+    """SwiGLU feed-forward: w3(silu(w1 x) * w2 x), hidden = 2/3 rounding (dit.py:63-94)."""
+
+    dim: int
+    hidden_dim: int
+    multiple_of: int
+    use_bias: bool
+    w1_init: Initializer = normal_init(0.02)
+    w2_init: Initializer = xavier_uniform
+    w3_init: Initializer = xavier_uniform
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def rounded_hidden(hidden_dim: int, multiple_of: int) -> int:
+        hidden_dim = int(2 * hidden_dim / 3)
+        return multiple_of * ((hidden_dim + multiple_of - 1) // multiple_of)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = self.rounded_hidden(self.hidden_dim, self.multiple_of)
+        dense = lambda f, init, name: nn.Dense(
+            f, use_bias=self.use_bias, kernel_init=init, bias_init=zeros_init,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        gate = dense(hidden, self.w1_init, "w1")(x)
+        up = dense(hidden, self.w2_init, "w2")(x)
+        return dense(self.dim, self.w3_init, "w3")(nn.silu(gate) * up)
+
+
+class FeedForwardECMoe(nn.Module):
+    """Expert-choice MoE feed-forward with exact-GELU experts (dit.py:97-148).
+
+    Routing (each expert picks its top-k tokens, k = capacity * T / E) follows
+    dit.py:126-143, but the dense one-hot einsum dispatch is replaced by a
+    take-along-axis gather + scatter-add combine - numerically identical (see
+    tests/test_moe.py) and far lighter on HBM: the reference materializes a
+    [n, e, k, t] one-hot (O(capacity * T^2)); the gather form is O(capacity * T * d).
+    The gate-prob weighting g * h keeps the gradient path through the router.
+    """
+
+    num_experts: int
+    expert_capacity: float
+    dim: int
+    hidden_dim: int
+    multiple_of: int
+    w2_init: Initializer = xavier_uniform
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.ndim == 3
+        n, t, d = x.shape
+        e = self.num_experts
+        hidden = self.multiple_of * (
+            (self.hidden_dim + self.multiple_of - 1) // self.multiple_of
+        )
+        k = int(self.expert_capacity * t / e)
+
+        gate = nn.Dense(
+            e, use_bias=False, kernel_init=normal_init(0.02), dtype=self.dtype,
+            param_dtype=jnp.float32, name="gate",
+        )
+        w1 = self.param("w1", normal_init(0.02), (e, d, hidden), jnp.float32)
+        w2 = self.param("w2", self.w2_init, (e, hidden, d), jnp.float32)
+        w1 = w1.astype(self.dtype)
+        w2 = w2.astype(self.dtype)
+
+        scores = gate(x)  # (n, t, e)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)  # (n, t, e)
+        # Expert-choice: each expert selects its top-k tokens.
+        g, m = jax.lax.top_k(jnp.swapaxes(probs, 1, 2), k)  # (n, e, k) values/indices
+        g = g.astype(self.dtype)
+
+        # Dispatch: gather each expert's chosen tokens.
+        xin = jnp.take_along_axis(x[:, None, :, :], m[:, :, :, None], axis=2)  # (n,e,k,d)
+        h = jnp.einsum("nekd,edf->nekf", xin, w1, preferred_element_type=jnp.float32)
+        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        h = jnp.einsum("nekf,efd->nekd", h, w2, preferred_element_type=jnp.float32)
+        h = h.astype(self.dtype)
+
+        out = g[..., None] * h  # (n, e, k, d)
+
+        # Combine: scatter-add expert outputs back to token positions (tokens picked by
+        # several experts accumulate, matching the reference one-hot combine einsum).
+        def combine(m_b: jax.Array, out_b: jax.Array) -> jax.Array:
+            return (
+                jnp.zeros((t, d), out_b.dtype)
+                .at[m_b.reshape(-1)]
+                .add(out_b.reshape(-1, d))
+            )
+
+        return jax.vmap(combine)(m, out)
+
+
+# --------------------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    """Self-attention with fused qkv and non-affine QK-LayerNorm over the flattened
+    head dims (reference utils.py:144-201)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    norm_eps: float = 1e-6
+    hidden_dim: Optional[int] = None
+    qkv_init: Initializer = normal_init(0.02)
+    proj_init: Initializer = xavier_uniform
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        hidden = self.hidden_dim or self.dim
+        assert hidden % self.num_heads == 0
+        head_dim = hidden // self.num_heads
+        b, n, _ = x.shape
+
+        qkv = nn.Dense(
+            hidden * 3, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, hidden)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        ln = lambda name: LayerNorm(
+            hidden, eps=self.norm_eps, use_scale=False, dtype=self.dtype, name=name
+        )
+        q = ln("ln_q")(q).reshape(b, n, self.num_heads, head_dim)
+        k = ln("ln_k")(k).reshape(b, n, self.num_heads, head_dim)
+        v = v.reshape(b, n, self.num_heads, head_dim)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, n, hidden)
+        return nn.Dense(
+            self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="proj",
+        )(out)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention: q from image tokens, kv from caption tokens, QK-LayerNorm on the
+    flattened hidden dims (reference utils.py:81-141)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    norm_eps: float = 1e-6
+    hidden_dim: Optional[int] = None
+    qkv_init: Initializer = normal_init(0.02)
+    proj_init: Initializer = xavier_uniform
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        hidden = self.hidden_dim or self.dim
+        assert hidden % self.num_heads == 0
+        head_dim = hidden // self.num_heads
+        b, n, _ = x.shape
+        l = cond.shape[-2]
+        cond = cond.reshape(b, l, cond.shape[-1])
+
+        q = nn.Dense(
+            hidden, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
+            name="q_linear",
+        )(x)
+        kv = nn.Dense(
+            hidden * 2, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
+            name="kv_linear",
+        )(cond)
+        kv = kv.reshape(b, l, 2, hidden)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        ln = lambda name: LayerNorm(
+            hidden, eps=self.norm_eps, use_scale=False, dtype=self.dtype, name=name
+        )
+        q = ln("ln_q")(q).reshape(b, n, self.num_heads, head_dim)
+        k = ln("ln_k")(k).reshape(b, l, self.num_heads, head_dim)
+        v = v.reshape(b, l, self.num_heads, head_dim)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, n, hidden)
+        return nn.Dense(
+            self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="proj",
+        )(out)
+
+
+# --------------------------------------------------------------------------------------
+# Embedders / final layer
+# --------------------------------------------------------------------------------------
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify + flatten, replacing timm PatchEmbed (dit.py:312-314).
+
+    Input follows the reference NCHW layout; internally the conv runs NHWC (the TPU-native
+    layout) and the (H/p, W/p) grid is flattened row-major to (B, T, D) like timm's
+    flatten(2).transpose(1, 2).
+    """
+
+    patch_size: int
+    in_channels: int
+    embed_dim: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, c, h, w = x.shape
+        p = self.patch_size
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=patch_embed_kernel_init,
+            bias_init=torch_linear_bias_init(c * p * p),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="proj",
+        )(x)
+        return x.reshape(b, (h // p) * (w // p), self.embed_dim)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding + 2-layer MLP (reference utils.py:243-289).
+
+    The frequency embedding is cos-first: cat([cos, sin]) (utils.py:278).
+    """
+
+    hidden_size: int
+    frequency_embedding_size: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def timestep_embedding(t: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+        half = dim // 2
+        freqs = jnp.exp(
+            -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+        return emb
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        t_freq = self.timestep_embedding(t, self.frequency_embedding_size)
+        t_freq = t_freq.astype(self.dtype)
+        dense = lambda name: nn.Dense(
+            self.hidden_size, use_bias=True, kernel_init=normal_init(0.02),
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        x = dense("mlp_0")(t_freq)
+        x = nn.gelu(x, approximate=True)
+        return dense("mlp_2")(x)
+
+
+class CaptionProjection(nn.Module):
+    """Caption embedding -> model dim MLP with inner LayerNorm (utils.py:292-318)."""
+
+    in_channels: int
+    hidden_size: int
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, caption: jax.Array) -> jax.Array:
+        return Mlp(
+            in_features=self.in_channels,
+            hidden_features=self.hidden_size,
+            out_features=self.hidden_size,
+            use_norm=True,
+            norm_eps=self.norm_eps,
+            fc1_init=normal_init(0.02),
+            fc2_init=normal_init(0.02),
+            dtype=self.dtype,
+            name="y_proj",
+        )(caption)
+
+
+class T2IFinalLayer(nn.Module):
+    """Final adaLN (shift/scale) + linear to patch^2 * C (reference utils.py:204-240).
+
+    Both the adaLN linear and the output linear are zero-initialized (dit.py:626-627).
+    """
+
+    hidden_size: int
+    time_emb_dim: int
+    patch_size: int
+    out_channels: int
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        ada = nn.gelu(c, approximate=True)
+        ada = nn.Dense(
+            2 * self.hidden_size, use_bias=True, kernel_init=zeros_init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
+            name="adaLN_modulation_1",
+        )(ada)
+        shift, scale = jnp.split(ada, 2, axis=1)
+        x = LayerNorm(self.hidden_size, eps=self.norm_eps, dtype=self.dtype,
+                      name="norm_final")(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels, use_bias=True,
+            kernel_init=zeros_init, bias_init=zeros_init, dtype=self.dtype,
+            param_dtype=jnp.float32, name="linear",
+        )(x)
+
+
+class AttentionBlockPromptEmbedding(nn.Module):
+    """Pre-LN self-attention + SwiGLU FF block over caption tokens (dit.py:12-60).
+
+    Output projections (attn.proj, mlp.w3) are zero-initialized (dit.py:621-623) so the
+    block starts as identity.
+    """
+
+    dim: int
+    head_dim: int
+    mlp_ratio: float
+    multiple_of: int
+    norm_eps: float
+    use_bias: bool
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.dim % self.head_dim == 0
+        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + SelfAttention(
+            dim=self.dim,
+            num_heads=self.dim // self.head_dim,
+            qkv_bias=self.use_bias,
+            norm_eps=self.norm_eps,
+            qkv_init=normal_init(0.02),
+            proj_init=zeros_init,
+            dtype=self.dtype,
+            name="attn",
+        )(h)
+        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        x = x + FeedForward(
+            dim=self.dim,
+            hidden_dim=int(self.dim * self.mlp_ratio),
+            multiple_of=self.multiple_of,
+            use_bias=self.use_bias,
+            w1_init=normal_init(0.02),
+            w2_init=normal_init(0.02),
+            w3_init=zeros_init,
+            dtype=self.dtype,
+            name="mlp",
+        )(h)
+        return x
+
+
+# --------------------------------------------------------------------------------------
+# 2D sin-cos positional embedding (host-side numpy, reference utils.py:330-379)
+# --------------------------------------------------------------------------------------
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000**omega
+    pos = pos.reshape(-1)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed_from_grid(embed_dim: int, grid: np.ndarray) -> np.ndarray:
+    assert embed_dim % 2 == 0
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def get_2d_sincos_pos_embed(
+    embed_dim: int,
+    grid_size: int,
+    pos_interp_scale: float = 1.0,
+    base_size: int = 16,
+) -> np.ndarray:
+    """2D sin-cos positional embedding with resolution-transfer interpolation
+    (reference utils.py:330-353): grid coords divided by (grid/base)/interp_scale."""
+    grid_h = np.arange(grid_size, dtype=np.float32) / (grid_size / base_size) / pos_interp_scale
+    grid_w = np.arange(grid_size, dtype=np.float32) / (grid_size / base_size) / pos_interp_scale
+    grid = np.meshgrid(grid_w, grid_h)
+    grid = np.stack(grid, axis=0)
+    grid = grid.reshape([2, 1, grid_size, grid_size])
+    return get_2d_sincos_pos_embed_from_grid(embed_dim, grid)

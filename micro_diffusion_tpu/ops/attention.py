@@ -1,0 +1,60 @@
+"""Attention ops for TPU.
+
+The reference (micro_diffusion/models/utils.py:127-132,188-193) relies on torch
+``scaled_dot_product_attention`` (FlashAttention CUDA kernels). On TPU the equivalents are
+(a) the XLA-fused softmax(QK^T)V path, which XLA tiles onto the MXU, and (b) a Pallas
+flash-attention kernel (ops/flash_attention.py) for long sequences. Sequences in MicroDiT
+are short (<=1024 image tokens, 77/120 text tokens), so the XLA path is the default;
+the Pallas kernel is opt-in via ``use_flash``.
+
+Layout convention is (batch, seq, heads, head_dim) ("BTHD") everywhere - no transposes to
+(B, H, T, D) are materialized; XLA fuses the layout into the matmuls.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Default backend for attention: 'xla' | 'pallas'. Overridable per-call.
+_DEFAULT_IMPL = os.environ.get("MDT_ATTENTION_IMPL", "xla")
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """softmax(q k^T * scale) v with fp32 softmax accumulation.
+
+    Args:
+        q: (B, Tq, H, D)
+        k, v: (B, Tk, H, D)
+    Returns:
+        (B, Tq, H, D) in q.dtype
+    """
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float | None = None,
+    impl: str | None = None,
+) -> jax.Array:
+    """Non-causal multi-head attention, layout (B, T, H, D).
+
+    Matches torch ``F.scaled_dot_product_attention(is_causal=False)`` semantics with the
+    default ``1/sqrt(head_dim)`` scale (reference utils.py:127-132).
+    """
+    impl = impl or _DEFAULT_IMPL
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
