@@ -1,0 +1,133 @@
+"""The jit'd train step: grad accumulation via lax.scan, AdamW update, EMA.
+
+TPU-first equivalents of the reference's Composer internals (SURVEY.md #3.1):
+  * Composer device_train_microbatch_size loop  -> lax.scan over microbatches inside ONE
+    compiled step, accumulating fp32 grads (no per-microbatch dispatch overhead)
+  * FSDP SHARD_GRAD_OP + NCCL                   -> NamedShardings (parallel/) + XLA
+    collectives; the step function itself is sharding-agnostic
+  * amp_bf16 autocast                           -> bf16 module compute dtype with fp32
+    params/grads/optimizer state
+  * per-op torch RNG                            -> explicit key folding: rng = fold_in
+    (base, step) then fold_in(rng, microbatch_idx); sigma/noise/mask keys split inside
+    the loss
+"""
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(
+    params: Any, tx: optax.GradientTransformation, use_ema: bool = False
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+    )
+
+
+def _split_microbatches(batch: Any, microbatch_size: Optional[int]):
+    """Reshape every batch leaf (B, ...) -> (n_micro, microbatch, ...)."""
+    b = jax.tree.leaves(batch)[0].shape[0]
+    if microbatch_size is None or microbatch_size >= b:
+        microbatch_size = b
+    assert b % microbatch_size == 0, (b, microbatch_size)
+    n = b // microbatch_size
+    return jax.tree.map(
+        lambda x: x.reshape((n, microbatch_size) + x.shape[1:]), batch
+    ), n
+
+
+def make_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    microbatch_size: Optional[int] = None,
+    ema_smoothing: Optional[float] = None,
+    ema_start: int = 0,
+) -> Callable:
+    """Build the train step fn(state, batch, base_rng) -> (state, metrics).
+
+    ``model`` is a LatentDiffusion (models/diffusion.py); its ``forward`` computes the
+    EDM loss with the configured train_mask_ratio.
+    """
+    from .optim import ema_update
+
+    def loss_fn(params, rng, microbatch):
+        loss, _, _ = model.forward(params, rng, microbatch, train=True)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, batch: Any, base_rng: jax.Array):
+        rng = jax.random.fold_in(base_rng, state.step)
+        micro, n = _split_microbatches(batch, microbatch_size)
+
+        def micro_step(acc, inp):
+            idx, mb = inp
+            loss, grads = grad_fn(state.params, jax.random.fold_in(rng, idx), mb)
+            acc_loss, acc_grads = acc
+            return (
+                acc_loss + loss,
+                jax.tree.map(jnp.add, acc_grads, grads),
+            ), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            micro_step,
+            (jnp.zeros((), jnp.float32), zero_grads),
+            (jnp.arange(n), micro),
+        )
+        loss = loss_sum / n
+        grads = jax.tree.map(lambda g: g / n, grad_sum)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_smoothing is not None:
+            new_ema = ema_update(
+                state.ema_params, new_params, state.step, ema_smoothing, ema_start
+            )
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "lr": lr_schedule(state.step),
+        }
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=new_ema,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model: Any) -> Callable:
+    """Eval loss on a batch, mask_ratio = eval_mask_ratio (0) - reference model.py:217-222."""
+
+    def eval_step(params: Any, batch: Any, rng: jax.Array):
+        loss, _, _ = model.forward(params, rng, batch, train=False)
+        return loss
+
+    return eval_step
