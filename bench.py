@@ -1,0 +1,172 @@
+"""Benchmark: MicroDiT-XL training throughput (images/sec/chip) on real TPU hardware.
+
+Measures the jit'd train step for the four reference recipe stages (256px mask-0.75,
+256px mask-0, 512px mask-0.75, 512px mask-0; configs/*) on one chip, then reports the
+schedule-weighted average images/sec/chip over the full 385k-step recipe.
+
+Baseline: the reference publishes no images/sec. Derived from its own numbers
+(BASELINE.md): 385k steps x batch 2048 in 2.6 days on 8xH100 => 3510 img/s cluster
+= 439 img/s per H100, schedule-weighted across stages. vs_baseline compares our
+schedule-weighted per-chip number against that.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+
+Env:
+  MDT_BENCH_QUICK=1   -> stage-1 only (fast sanity run); metric name says so
+  MDT_BENCH_STEPS=N   -> timed steps per stage (default 10)
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from micro_diffusion_tpu.models.diffusion import LatentDiffusion
+from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
+from micro_diffusion_tpu.train import build_optimizer, create_train_state, make_train_step
+from micro_diffusion_tpu.train.optim import cosine_with_warmup
+
+# Reference-derived baseline (see module docstring).
+BASELINE_IMG_PER_SEC_PER_CHIP = 439.0
+
+# (name, latent_res, mask_ratio, schedule_steps, microbatch ladder)
+STAGES = [
+    ("res256_mask75", 32, 0.75, 250_000, (64, 32, 16)),
+    ("res256_mask0", 32, 0.0, 30_000, (32, 16, 8)),
+    ("res512_mask75", 64, 0.75, 50_000, (16, 8, 4)),
+    ("res512_mask0", 64, 0.0, 55_000, (8, 4, 2)),
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fast_params(model, rng):
+    """Throughput-bench params: correct shapes/dtypes, values ~N(0, 0.02) - avoids the
+    slow full-init compile; parameter VALUES don't affect step time."""
+    shapes = jax.eval_shape(lambda: model.dit.init(
+        {"params": rng, "mask": rng},
+        jnp.zeros((1, model.dit.in_channels, model.latent_res, model.latent_res)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 1, 77, model.dit.caption_channels)),
+    ))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def init_leaves(key):
+        keys = jax.random.split(key, len(leaves))
+        return [
+            jax.random.normal(k, l.shape, l.dtype) * 0.02
+            for k, l in zip(keys, leaves)
+        ]
+
+    return jax.tree_util.tree_unflatten(treedef, init_leaves(rng))
+
+
+def bench_stage(name, latent_res, mask_ratio, mb_ladder, timed_steps):
+    dit = MicroDiT_XL_2(input_size=latent_res, remat=True)
+    model = LatentDiffusion(
+        dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio, latent_scale=1.0
+    )
+    rng = jax.random.PRNGKey(0)
+    log(f"[{name}] creating XL params...")
+    params = fast_params(model, rng)
+
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    # First-moment in bf16: a production memory lever to fit AdamW for 1.16B params in
+    # one chip's HBM; the multi-chip recipe shards optimizer state instead (parallel/).
+    tx = build_optimizer(params, sched, clip_norm=0.25, mu_dtype=jnp.bfloat16)
+    state = create_train_state(params, tx)
+    del params
+
+    step_fn = jax.jit(
+        make_train_step(model, tx, sched, microbatch_size=None),
+        donate_argnums=(0,),
+    )
+
+    for mb in mb_ladder:
+        batch = {
+            "image_latents": jax.random.normal(
+                jax.random.PRNGKey(1), (mb, 4, latent_res, latent_res)
+            ),
+            "caption_latents": jax.random.normal(
+                jax.random.PRNGKey(2), (mb, 1, 77, 1024)
+            ),
+            "drop_caption_mask": jnp.ones((mb,)),
+        }
+        try:
+            log(f"[{name}] trying microbatch {mb} (compile)...")
+            t0 = time.time()
+            state2, metrics = step_fn(state, batch, rng)
+            # NOTE: through the axon relay, block_until_ready can return before the
+            # computation finishes; a scalar VALUE fetch is the only reliable barrier.
+            loss0 = float(metrics["loss"])
+            log(f"[{name}] compile+first step: {time.time() - t0:.0f}s")
+            state2, metrics = step_fn(state2, batch, rng)  # warmup
+            float(metrics["loss"])
+
+            t0 = time.time()
+            for _ in range(timed_steps):
+                state2, metrics = step_fn(state2, batch, rng)
+            final_loss = float(metrics["loss"])  # forces the whole step chain
+            dt = (time.time() - t0) / timed_steps
+            img_s = mb / dt
+            log(
+                f"[{name}] microbatch {mb}: {dt * 1e3:.1f} ms/step = "
+                f"{img_s:.1f} img/s/chip (loss {final_loss:.4f})"
+            )
+            return img_s, mb
+        except Exception as e:  # OOM -> try smaller microbatch
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "OOM" in msg:
+                log(f"[{name}] microbatch {mb} OOM, trying smaller")
+                continue
+            raise
+    raise RuntimeError(f"{name}: all microbatch sizes OOM")
+
+
+def main():
+    quick = os.environ.get("MDT_BENCH_QUICK") == "1"
+    timed_steps = int(os.environ.get("MDT_BENCH_STEPS", "10"))
+    stages = STAGES[:1] if quick else STAGES
+
+    results = {}
+    for name, res, mask, steps, ladder in stages:
+        img_s, mb = bench_stage(name, res, mask, ladder, timed_steps)
+        results[name] = {"img_per_sec_per_chip": img_s, "microbatch": mb,
+                         "schedule_steps": steps}
+
+    if quick:
+        value = results["res256_mask75"]["img_per_sec_per_chip"]
+        metric = "MicroDiT-XL stage1 (256px mask0.75) train images/sec/chip"
+    else:
+        total_images = sum(r["schedule_steps"] * 2048 for r in results.values())
+        total_time = sum(
+            r["schedule_steps"] * 2048 / r["img_per_sec_per_chip"]
+            for r in results.values()
+        )
+        value = total_images / total_time
+        metric = "MicroDiT-XL 4-stage schedule-weighted train images/sec/chip"
+
+    out = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        "detail": {
+            k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+                for kk, vv in v.items()}
+            for k, v in results.items()
+        },
+        "baseline_img_per_sec_per_chip": BASELINE_IMG_PER_SEC_PER_CHIP,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

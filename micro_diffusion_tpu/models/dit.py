@@ -204,6 +204,14 @@ class DiT(nn.Module):
     expert_capacity: float = 1.0
     experts_every_n: int = 2
     dtype: Any = jnp.bfloat16
+    # Rematerialize each DiT block in the backward pass (jax.checkpoint): trades ~30%
+    # more FLOPs for O(depth) less activation HBM - the standard TPU memory lever
+    # (the reference instead relies on 80GB H100s).
+    remat: bool = False
+    # 'full'  - recompute everything in the block (min memory, +1 fwd of FLOPs)
+    # 'dots'  - save matmul outputs, recompute elementwise only (near-zero extra MXU
+    #           FLOPs, moderate memory) - usually the best TPU throughput point
+    remat_policy: str = "full"
 
     @property
     def out_channels(self) -> int:
@@ -264,12 +272,21 @@ class DiT(nn.Module):
             dtype=self.dtype,
         )
 
+        if self.remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots"
+                else None
+            )
+            block_cls = nn.remat(DiTBlock, policy=policy)
+        else:
+            block_cls = DiTBlock
         if self.use_patch_mixer:
             mixer_moe = _moe_block_flags(
                 self.patch_mixer_depth, self.experts_every_n, skip_last=False
             )
             self.patch_mixer = [
-                DiTBlock(
+                block_cls(
                     dim=self.patch_mixer_dim,
                     head_dim=self.head_dim,
                     mlp_ratio=self.patch_mixer_mlp_ratio,
@@ -311,7 +328,7 @@ class DiT(nn.Module):
         qkv_ratios, mlp_ratios = self._layer_ratios()
         backbone_moe = _moe_block_flags(self.depth, self.experts_every_n, skip_last=True)
         self.blocks = [
-            DiTBlock(
+            block_cls(
                 dim=self.dim,
                 head_dim=self.head_dim,
                 mlp_ratio=mlp_ratios[i],
@@ -533,6 +550,48 @@ def MicroDiT_XL_2(
         use_patch_mixer=True,
         patch_mixer_depth=6,
         patch_mixer_dim=768,
+        patch_mixer_qkv_ratio=1.0,
+        patch_mixer_mlp_ratio=4.0,
+        use_bias=False,
+        num_experts=num_experts,
+        expert_capacity=expert_capacity,
+        experts_every_n=experts_every_n,
+        **kwargs,
+    )
+
+
+def MicroDiT_Micro_2(
+    caption_channels: int = 1024,
+    qkv_ratio: Sequence[float] = (0.5, 1.0),
+    mlp_ratio: Sequence[float] = (0.5, 4.0),
+    pos_interp_scale: float = 1.0,
+    input_size: int = 32,
+    num_experts: int = 4,
+    expert_capacity: float = 2.0,
+    experts_every_n: int = 2,
+    in_channels: int = 4,
+    **kwargs,
+) -> DiT:
+    """Debug-scale model (~1M params in the backbone) for smoke tests and CI - not part
+    of the reference zoo (dit.py has Tiny/XL only) but structurally identical."""
+    depth = 4
+    return DiT(
+        input_size=input_size,
+        patch_size=2,
+        in_channels=in_channels,
+        dim=64,
+        depth=depth,
+        head_dim=16,
+        multiple_of=32,
+        caption_channels=caption_channels,
+        pos_interp_scale=pos_interp_scale,
+        norm_eps=1e-6,
+        depth_init=True,
+        qkv_multipliers=tuple(np.linspace(qkv_ratio[0], qkv_ratio[1], num=depth)),
+        ffn_multipliers=tuple(np.linspace(mlp_ratio[0], mlp_ratio[1], num=depth)),
+        use_patch_mixer=True,
+        patch_mixer_depth=2,
+        patch_mixer_dim=48,
         patch_mixer_qkv_ratio=1.0,
         patch_mixer_mlp_ratio=4.0,
         use_bias=False,

@@ -1,0 +1,194 @@
+"""End-to-end training test: yaml recipe -> train.py -> trainer.fit() on a generated
+latent dataset, including checkpoint save, stage chaining (load_path), and eval.
+
+This is the CPU-runnable equivalent of the reference's de-facto '~1% subset' smoke path
+(SURVEY.md #4), exercising config loading, loaders, the sharded step, callbacks, and
+orbax checkpointing in one pass.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from micro_diffusion_tpu.datasets import MDSWriter
+from train import main as train_main
+
+
+def write_latents_dataset(dirname, n=64, cap_seq=77, cap_dim=1024):
+    rng = np.random.default_rng(0)
+    cols = {"caption_latents": "bytes", "latents_256": "bytes"}
+    with MDSWriter(out=str(dirname), columns=cols) as w:
+        for _ in range(n):
+            w.write(
+                {
+                    "caption_latents": rng.standard_normal((1, cap_seq, cap_dim))
+                    .astype(np.float16).tobytes(),
+                    "latents_256": (0.5 * rng.standard_normal((4, 32, 32)))
+                    .astype(np.float16).tobytes(),
+                }
+            )
+
+
+def make_config(tmp_path, datadir, exp_name, **trainer_overrides):
+    cfg = {
+        "exp_name": exp_name,
+        "seed": 18,
+        "algorithms": {
+            "gradient_clipping": {"clipping_type": "norm", "clip_norm": 0.25},
+        },
+        "model": {
+            "_target_": "micro_diffusion_tpu.models.diffusion.create_latent_diffusion",
+            "vae_name": "stabilityai/stable-diffusion-xl-base-1.0",
+            "text_encoder_name": "openclip:hf-hub:apple/DFN5B-CLIP-ViT-H-14-378",
+            "dit_arch": "MicroDiT_Micro_2",
+            "precomputed_latents": True,
+            "in_channels": 4,
+            "pos_interp_scale": 1.0,
+            # fp32: this jax version's XLA:CPU runtime cannot execute bf16 dots
+            # (DotThunk); the bf16 path runs on TPU (bench.py / entry())
+            "dtype": "float32",
+            "latent_res": 32,
+            "p_mean": -0.6,
+            "p_std": 1.2,
+            "train_mask_ratio": 0.75,
+        },
+        "dataset": {
+            "image_size": 256,
+            "train_batch_size": 16,
+            "eval_batch_size": 16,
+            "cap_drop_prob": 0.1,
+            "train": {
+                "_target_": "micro_diffusion_tpu.datasets.latents_loader."
+                            "build_streaming_latents_dataloader",
+                "datadir": str(datadir),
+                "drop_last": True,
+                "shuffle": True,
+            },
+            "eval": {
+                "_target_": "micro_diffusion_tpu.datasets.latents_loader."
+                            "build_streaming_latents_dataloader",
+                "datadir": str(datadir),
+                "drop_last": True,
+                "shuffle": False,
+            },
+        },
+        "optimizer": {
+            "_target_": "torch.optim.AdamW",
+            "lr": 1e-4, "weight_decay": 0.1, "eps": 1e-8, "betas": [0.9, 0.999],
+        },
+        "scheduler": {
+            "_target_": "composer.optim.CosineAnnealingWithWarmupScheduler",
+            "t_warmup": "2ba", "alpha_f": 0.33,
+        },
+        "logger": {
+            "progress": {
+                "_target_": "micro_diffusion_tpu.train.callbacks.JSONLLogger",
+                "path": str(tmp_path / exp_name / "metrics.jsonl"),
+            }
+        },
+        "callbacks": {
+            "speed_monitor": {
+                "_target_": "composer.callbacks.speed_monitor.SpeedMonitor",
+                "window_size": 3,
+            },
+            "lr_monitor": {"_target_": "composer.callbacks.lr_monitor.LRMonitor"},
+            "optimizer_monitor": {"_target_": "composer.callbacks.OptimizerMonitor"},
+            "nan_catcher": {
+                "_target_": "micro_diffusion.models.callbacks.NaNCatcher"
+            },
+        },
+        "trainer": {
+            "_target_": "composer.Trainer",
+            "device": "tpu",
+            "max_duration": "6ba",
+            "eval_interval": "3ba",
+            "save_interval": "3ba",
+            "save_num_checkpoints_to_keep": 2,
+            "device_train_microbatch_size": 8,
+            "run_name": "${exp_name}",
+            "seed": "${seed}",
+            "save_folder": str(tmp_path / exp_name / "ckpts"),
+            "save_overwrite": True,
+            "autoresume": False,
+            "metric_window": 2,
+        },
+        "misc": {"compile": True},
+    }
+    cfg["trainer"].update(trainer_overrides)
+    path = tmp_path / f"{exp_name}.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("latents") / "ds"
+    write_latents_dataset(d)
+    return d
+
+
+def test_train_entrypoint_end_to_end(tmp_path, dataset_dir):
+    cfg_path = make_config(tmp_path, dataset_dir, "stage1")
+    train_main(["--config-path", str(tmp_path), "--config-name", "stage1"])
+
+    # checkpoint written
+    ckpt_dir = tmp_path / "stage1" / "ckpts"
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert 6 in steps
+    # metrics logged
+    metrics = [
+        line for line in open(tmp_path / "stage1" / "metrics.jsonl")
+    ]
+    assert len(metrics) > 0
+    import json
+
+    rows = [json.loads(l) for l in metrics]
+    assert any("loss/train/total" in r for r in rows)
+    assert any("metrics/eval/loss" in r for r in rows)
+    assert any("throughput/images_per_sec" in r for r in rows)
+
+
+def test_stage_chaining_and_cli_overrides(tmp_path, dataset_dir):
+    cfg1 = make_config(tmp_path, dataset_dir, "chain1")
+    train_main(["--config-path", str(tmp_path), "--config-name", "chain1",
+                "trainer.max_duration=3ba"])
+
+    # stage 2: resume full state from stage-1 dir, train to 5ba total
+    make_config(
+        tmp_path, dataset_dir, "chain2",
+        load_path=str(tmp_path / "chain1" / "ckpts"),
+        load_ignore_keys=[
+            "state/optimizers/AdamW/param_groups/lr",
+            "state/schedulers/LambdaLR/base_lrs",
+        ],
+        max_duration="5ba",
+    )
+    train_main(["--config-path", str(tmp_path), "--config-name", "chain2",
+                "model.train_mask_ratio=0.0"])
+    ckpts2 = tmp_path / "chain2" / "ckpts"
+    steps = sorted(int(d) for d in os.listdir(ckpts2) if d.isdigit())
+    # resumed from step 3 -> trained steps 4,5 -> final save at 5
+    assert steps[-1] == 5
+
+
+def test_weights_only_load_resets_step(tmp_path, dataset_dir):
+    make_config(tmp_path, dataset_dir, "w1", max_duration="2ba")
+    train_main(["--config-path", str(tmp_path), "--config-name", "w1"])
+    make_config(
+        tmp_path, dataset_dir, "w2",
+        load_path=str(tmp_path / "w1" / "ckpts"),
+        load_weights_only=True,
+        load_strict_model_weights=False,
+        load_ignore_keys=["state/model/dit.pos_embed"],
+        max_duration="2ba",
+    )
+    # 512-style stage: pos_interp_scale changes but weights transfer
+    train_main(["--config-path", str(tmp_path), "--config-name", "w2",
+                "model.pos_interp_scale=2.0"])
+    steps = sorted(
+        int(d) for d in os.listdir(tmp_path / "w2" / "ckpts") if d.isdigit()
+    )
+    assert steps[-1] == 2  # step reset to 0, trained 2
