@@ -56,5 +56,5 @@ def dot_product_attention(
     if impl == "pallas":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale, False)
     return _xla_attention(q, k, v, scale)

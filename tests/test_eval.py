@@ -1,0 +1,72 @@
+"""FID math tests: streaming stats vs direct computation, closed-form Frechet
+distances, and the generation driver with a stub model."""
+
+import json
+
+import numpy as np
+
+from micro_diffusion_tpu.eval import FIDStats, compute_fid_from_stats, frechet_distance
+
+
+def test_streaming_stats_match_direct():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((500, 16))
+    stats = FIDStats(dim=16)
+    for lo in range(0, 500, 64):
+        stats.update(feats[lo : lo + 64])
+    np.testing.assert_allclose(stats.mean, feats.mean(0), rtol=1e-10)
+    np.testing.assert_allclose(stats.cov, np.cov(feats, rowvar=False), rtol=1e-8)
+
+
+def test_frechet_identity_is_zero():
+    rng = np.random.default_rng(1)
+    mu = rng.standard_normal(8)
+    a = rng.standard_normal((100, 8))
+    sigma = np.cov(a, rowvar=False)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_closed_form_isotropic():
+    """For N(mu1, aI) vs N(mu2, bI): d^2 = ||mu1-mu2||^2 + D*(a + b - 2 sqrt(ab))."""
+    d = 6
+    mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+    a, b = 1.5, 0.5
+    fid = frechet_distance(mu1, a * np.eye(d), mu2, b * np.eye(d))
+    expected = 4.0 * d + d * (a + b - 2 * np.sqrt(a * b))
+    np.testing.assert_allclose(fid, expected, rtol=1e-8)
+
+
+def test_fid_sensitivity():
+    rng = np.random.default_rng(2)
+    real = FIDStats(dim=8)
+    real.update(rng.standard_normal((1000, 8)))
+    close = FIDStats(dim=8)
+    close.update(rng.standard_normal((1000, 8)))
+    far = FIDStats(dim=8)
+    far.update(rng.standard_normal((1000, 8)) * 2.0 + 3.0)
+    assert compute_fid_from_stats(real, close) < compute_fid_from_stats(real, far)
+
+
+def test_stats_save_load(tmp_path):
+    s = FIDStats(dim=4)
+    s.update(np.random.default_rng(0).standard_normal((10, 4)))
+    s.save(tmp_path / "stats.npz")
+    s2 = FIDStats.load(tmp_path / "stats.npz")
+    np.testing.assert_allclose(s.mean, s2.mean)
+    np.testing.assert_allclose(s.cov, s2.cov)
+
+
+def test_generate_images_driver(tmp_path):
+    from micro_diffusion_tpu.eval.generate_eval_images import generate_images
+
+    class StubModel:
+        def generate(self, params, prompt, guidance_scale, num_inference_steps, seed):
+            return np.full((len(prompt), 3, 8, 8), 0.5, np.float32)
+
+    n = generate_images(
+        StubModel(), None, ["a", "b", "c"], str(tmp_path / "out"), batch_size=2
+    )
+    assert n == 3
+    manifest = json.load(open(tmp_path / "out" / "manifest.json"))
+    assert len(manifest) == 3
+    assert manifest[0]["caption"] == "a"
