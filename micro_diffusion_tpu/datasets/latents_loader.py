@@ -55,6 +55,29 @@ class StreamingLatentsDataset:
     def get(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         stream = int(np.searchsorted(self._cum, index, side="right")) - 1
         sample = self.readers[stream][index - int(self._cum[stream])]
+        return self._postprocess(sample, index, epoch)
+
+    def get_batch(self, indices, epoch: int = 0):
+        """Batched fetch: per-stream byte ranges gathered by the native parallel-pread
+        core (datasets/native.py) when available."""
+        streams = np.searchsorted(self._cum, indices, side="right") - 1
+        out = [None] * len(indices)
+        order = np.argsort(streams, kind="stable")
+        pos = 0
+        while pos < len(order):
+            s = int(streams[order[pos]])
+            end = pos
+            while end < len(order) and int(streams[order[end]]) == s:
+                end += 1
+            group = order[pos:end]
+            locals_ = [int(indices[g]) - int(self._cum[s]) for g in group]
+            samples = self.readers[s].read_many(locals_)
+            for g, sample in zip(group, samples):
+                out[int(g)] = self._postprocess(sample, int(indices[g]), epoch)
+            pos = end
+        return out
+
+    def _postprocess(self, sample, index: int, epoch: int) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
 
         if self.cap_drop_prob > 0:
@@ -139,7 +162,7 @@ class LatentsDataLoader:
         return np.arange(n)
 
     def _assemble(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
-        samples = [self.dataset.get(int(i), epoch) for i in indices]
+        samples = self.dataset.get_batch(indices, epoch)
         keys = samples[0].keys()
         return {k: np.stack([s[k] for s in samples]) for k in keys}
 

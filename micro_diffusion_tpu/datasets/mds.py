@@ -246,6 +246,43 @@ class MDSReader:
         for i in range(len(self)):
             yield self[i]
 
+    # ------------------------------------------------------- batched native path
+
+    def sample_range(self, idx: int):
+        """(shard_path, shard_index, begin, length) of one sample's blob on disk."""
+        shard_idx = int(np.searchsorted(self._cum, idx, side="right")) - 1
+        local = idx - int(self._cum[shard_idx])
+        data = self._shard_data(shard_idx)
+        off = 4 + 4 * local
+        begin, end = np.frombuffer(data[off : off + 8].tobytes(), np.uint32)
+        path = os.path.join(
+            self.dirname, self.shards[shard_idx]["raw_data"]["basename"]
+        )
+        return path, shard_idx, int(begin), int(end) - int(begin)
+
+    def read_many(self, indices) -> List[Dict[str, Any]]:
+        """Decode many samples; byte ranges are gathered by the native parallel-pread
+        core when available (datasets/native.py), else via memmap."""
+        from . import native
+
+        ranges = [self.sample_range(int(i)) for i in indices]
+        blobs = None
+        if native.available() and len(ranges) >= 4:
+            blobs = native.gather(
+                [r[0] for r in ranges],
+                [r[2] for r in ranges],
+                [r[3] for r in ranges],
+            )
+        if blobs is None:
+            blobs = []
+            for path, shard_idx, begin, length in ranges:
+                data = self._shard_data(shard_idx)
+                blobs.append(data[begin : begin + length].tobytes())
+        return [
+            self._decode_sample(self.shards[r[1]], b)
+            for r, b in zip(ranges, blobs)
+        ]
+
 
 def merge_index(root: str, subdirs: Optional[Sequence[str]] = None) -> None:
     """Merge per-rank sub-directory indexes into one root index.json, rewriting shard

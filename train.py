@@ -107,8 +107,20 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config-path", default="configs")
     parser.add_argument("--config-name", required=True)
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize() (multi-host TPU pod slice); "
+        "coordinator/process env comes from the TPU runtime",
+    )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
+
+    import os
+
+    if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # Multi-host: one process per host over ICI/DCN; all collectives are emitted
+        # by XLA from the NamedShardings (no NCCL/MPI equivalent needed).
+        jax.distributed.initialize()
 
     cfg = load_config(args.config_path, args.config_name, args.overrides)
     trainer = build_from_config(cfg)
