@@ -93,28 +93,6 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
-class Dense(nn.Module):
-    """nn.Dense wrapper with torch-Linear-compatible defaults (xavier kernel, zero bias)."""
-
-    features: int
-    use_bias: bool = True
-    kernel_init: Initializer = xavier_uniform
-    bias_init: Initializer = zeros_init
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Dense(
-            self.features,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="linear",
-        )(x)
-
-
 # --------------------------------------------------------------------------------------
 # MLPs
 # --------------------------------------------------------------------------------------

@@ -17,8 +17,11 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Default backend for attention: 'xla' | 'pallas'. Overridable per-call.
-_DEFAULT_IMPL = os.environ.get("MDT_ATTENTION_IMPL", "xla")
+
+def _default_impl() -> str:
+    """'xla' | 'pallas', read per-call so tests/benchmarks can flip the backend.
+    MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode (CPU)."""
+    return os.environ.get("MDT_ATTENTION_IMPL", "xla")
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
@@ -50,11 +53,12 @@ def dot_product_attention(
     Matches torch ``F.scaled_dot_product_attention(is_causal=False)`` semantics with the
     default ``1/sqrt(head_dim)`` scale (reference utils.py:127-132).
     """
-    impl = impl or _DEFAULT_IMPL
+    impl = impl or _default_impl()
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale, False)
+        interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
+        return flash_attention(q, k, v, scale, interpret)
     return _xla_attention(q, k, v, scale)

@@ -1,0 +1,41 @@
+"""Fused adaLN (LayerNorm + modulate) Pallas kernel vs the unfused reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from micro_diffusion_tpu.ops.adaln import _reference, layernorm_modulate
+
+
+@pytest.mark.parametrize("use_weight", [True, False])
+def test_forward_matches_reference(use_weight):
+    b, t, d = 3, 64, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, d))
+    w = jax.random.normal(jax.random.PRNGKey(1), (d,)) if use_weight else None
+    shift = jax.random.normal(jax.random.PRNGKey(2), (b, d))
+    scale = jax.random.normal(jax.random.PRNGKey(3), (b, d))
+    ref = _reference(x, w, shift, scale, 1e-6)
+    out = jax.jit(
+        lambda x, w, s1, s2: layernorm_modulate(x, w, s1, s2, 1e-6, True)
+    )(x, w, shift, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_reference():
+    b, t, d = 2, 16, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, d))
+    w = jax.random.normal(jax.random.PRNGKey(1), (d,))
+    shift = jax.random.normal(jax.random.PRNGKey(2), (b, d))
+    scale = jax.random.normal(jax.random.PRNGKey(3), (b, d))
+
+    def loss_fused(x, w, s1, s2):
+        return jnp.sum(jnp.sin(layernorm_modulate(x, w, s1, s2, 1e-6, True)))
+
+    def loss_ref(x, w, s1, s2):
+        return jnp.sum(jnp.sin(_reference(x, w, s1, s2, 1e-6)))
+
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))(x, w, shift, scale)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(x, w, shift, scale)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)

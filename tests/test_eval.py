@@ -70,3 +70,30 @@ def test_generate_images_driver(tmp_path):
     manifest = json.load(open(tmp_path / "out" / "manifest.json"))
     assert len(manifest) == 3
     assert manifest[0]["caption"] == "a"
+
+
+def test_geneval_prompts_and_scores():
+    from micro_diffusion_tpu.eval.geneval import (
+        CATEGORIES,
+        aggregate_scores,
+        build_prompt_manifest,
+    )
+
+    manifest = build_prompt_manifest(["dog", "cat", "car", "apple"], per_category=5)
+    assert len(manifest) == 5 * 6
+    tags = {m["tag"] for m in manifest}
+    assert tags == set(CATEGORIES)
+    for m in manifest:
+        assert m["prompt"].startswith("a photo of")
+        assert m["include"]
+    counting = [m for m in manifest if m["tag"] == "counting"]
+    assert all(m["include"][0]["count"] in (2, 3, 4) for m in counting)
+
+    results = [
+        {"tag": "single_object", "correct": True},
+        {"tag": "single_object", "correct": False},
+        {"tag": "colors", "correct": True},
+    ]
+    scores = aggregate_scores(results)
+    assert scores["single_object"] == 0.5
+    assert scores["colors"] == 1.0

@@ -51,3 +51,36 @@ def test_custom_scale():
     ref = _xla_attention(q, k, v, 0.25)
     out = jax.jit(lambda q, k, v: flash_attention(q, k, v, 0.25, True))(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_full_dit_forward_pallas_vs_xla(monkeypatch):
+    """The whole DiT forward with MDT_ATTENTION_IMPL=pallas (interpret mode) must match
+    the XLA attention path - validates the backend swap is numerically transparent."""
+    from micro_diffusion_tpu.models.dit import DiT
+
+    model = DiT(
+        input_size=16, patch_size=2, in_channels=4, dim=64, depth=2, head_dim=16,
+        multiple_of=32, caption_channels=32, qkv_multipliers=(1.0,),
+        ffn_multipliers=(2.0,), use_patch_mixer=True, patch_mixer_depth=1,
+        patch_mixer_dim=64, use_bias=False, num_experts=4, expert_capacity=2.0,
+        dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 4, 16, 16))
+    t = jnp.zeros((2,))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 8, 32))
+    params = jax.jit(lambda: model.init({"params": rng, "mask": rng}, x, t, y))()
+    # randomize zero-init layers so outputs are non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim >= 2 else p, params
+    )
+
+    out_xla = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
+
+    monkeypatch.setenv("MDT_ATTENTION_IMPL", "pallas")
+    monkeypatch.setenv("MDT_ATTENTION_INTERPRET", "1")
+    out_pallas = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), rtol=5e-5, atol=5e-5
+    )
