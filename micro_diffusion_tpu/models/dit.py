@@ -115,7 +115,9 @@ class DiTBlock(nn.Module):
             ada, 6, axis=1
         )
 
-        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm1")(
+            x, shift_msa, scale_msa
+        )
         h = SelfAttention(
             dim=self.dim,
             num_heads=qkv_hidden // self.head_dim,
@@ -126,7 +128,7 @@ class DiTBlock(nn.Module):
             proj_init=normal_init(init_std),
             dtype=self.dtype,
             name="attn",
-        )(modulate(h, shift_msa, scale_msa))
+        )(h)
         x = x + gate_msa[:, None, :] * h
 
         h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm2")(x)
@@ -142,8 +144,9 @@ class DiTBlock(nn.Module):
             name="cross_attn",
         )(h, y)
 
-        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm3")(x)
-        h = modulate(h, shift_mlp, scale_mlp)
+        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm3")(
+            x, shift_mlp, scale_mlp
+        )
         if self.moe_block:
             h = FeedForwardECMoe(
                 num_experts=self.num_experts,

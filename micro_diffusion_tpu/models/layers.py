@@ -73,6 +73,10 @@ class LayerNorm(nn.Module):
     'layernorm'    -> affine scale, no bias (use_scale=True)
     'np_layernorm' -> no affine at all      (use_scale=False)
     Statistics are computed in fp32; output is cast back to the compute dtype.
+
+    When called with (shift, scale), computes modulate(LN(x), shift, scale)
+    (dit.py:236-238); with MDT_FUSED_ADALN=1 that path runs as one fused Pallas VMEM
+    pass (ops/adaln.py) instead of the unfused chain.
     """
 
     dim: int
@@ -81,16 +85,36 @@ class LayerNorm(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        shift: Optional[jax.Array] = None,
+        scale: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        import os
+
+        w = (
+            self.param("weight", jax.nn.initializers.ones, (self.dim,), jnp.float32)
+            if self.use_scale
+            else None
+        )
+        if shift is not None and os.environ.get("MDT_FUSED_ADALN") == "1":
+            from ..ops.adaln import layernorm_modulate
+
+            interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
+            return layernorm_modulate(x, w, shift, scale, self.eps, interpret)
+
         orig_dtype = x.dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
-        if self.use_scale:
-            w = self.param("weight", jax.nn.initializers.ones, (self.dim,), jnp.float32)
+        if w is not None:
             y = y * w
-        return y.astype(orig_dtype)
+        y = y.astype(orig_dtype)
+        if shift is not None:
+            y = modulate(y, shift, scale)
+        return y
 
 
 # --------------------------------------------------------------------------------------
@@ -440,8 +464,7 @@ class T2IFinalLayer(nn.Module):
         )(ada)
         shift, scale = jnp.split(ada, 2, axis=1)
         x = LayerNorm(self.hidden_size, eps=self.norm_eps, dtype=self.dtype,
-                      name="norm_final")(x)
-        x = modulate(x, shift, scale)
+                      name="norm_final")(x, shift, scale)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels, use_bias=True,
             kernel_init=zeros_init, bias_init=zeros_init, dtype=self.dtype,

@@ -244,3 +244,17 @@ def test_create_latent_diffusion_signature():
     assert model.train_mask_ratio == 0.75
     assert model.latent_scale == 0.13025  # SDXL VAE scaling factor
     assert model.edm_config.P_mean == -0.6 and model.edm_config.P_std == 1.2
+
+
+def test_create_latent_diffusion_ostris_16ch():
+    """16-channel Ostris VAE variant (reference model.py:381, README.md:60)."""
+    model = create_latent_diffusion(
+        vae_name="ostris/vae-kl-f8-d16", dit_arch="MicroDiT_Tiny_2",
+        latent_res=32, in_channels=16,
+    )
+    assert model.dit.in_channels == 16
+    assert model.latent_scale == 1.0
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+    # x_embedder consumes 16 channels
+    k = params["params"]["x_embedder"]["proj"]["kernel"]
+    assert k.shape == (2, 2, 16, 512)
