@@ -31,6 +31,22 @@ from micro_diffusion_tpu.train.optim import cosine_with_warmup
 
 # Reference-derived baseline (see module docstring).
 BASELINE_IMG_PER_SEC_PER_CHIP = 439.0
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
+    """Approximate forward FLOPs per sample for MicroDiT-XL: 2 * params * tokens per
+    segment (mixer sees all tokens, backbone sees the kept fraction), + attention
+    score/value terms. Used for the MFU estimate only."""
+    t_full = (latent_res // 2) ** 2
+    t_keep = int(t_full * (1 - mask_ratio))
+    p_mixer = 0.153e9  # 6 mixer blocks at dim 768 + maps (from param tree)
+    p_backbone = 0.95e9  # 28 laddered blocks at dim 1024
+    p_cond = 0.06e9  # embedders/preprocess/final
+    gf = 2 * (p_mixer * t_full + p_backbone * t_keep + p_cond * 77) / 1e9
+    # attention scores+values: mixer full seq, backbone kept seq (avg qkv ~0.77*1024)
+    gf += 2 * 2 * (6 * t_full**2 * 768 + 28 * t_keep**2 * 790) / 1e9
+    return gf
 
 # (name, latent_res, mask_ratio, schedule_steps, microbatch ladder)
 STAGES = [
@@ -137,8 +153,12 @@ def main():
     results = {}
     for name, res, mask, steps, ladder in stages:
         img_s, mb = bench_stage(name, res, mask, ladder, timed_steps)
+        # MFU: model FLOPs (3x fwd, excluding remat recompute) / peak
+        mfu = 3 * stage_fwd_gflops_per_sample(res, mask) * img_s / (
+            V5E_PEAK_BF16_TFLOPS * 1e3
+        )
         results[name] = {"img_per_sec_per_chip": img_s, "microbatch": mb,
-                         "schedule_steps": steps}
+                         "schedule_steps": steps, "est_mfu": round(mfu, 3)}
 
     if quick:
         value = results["res256_mask75"]["img_per_sec_per_chip"]

@@ -89,34 +89,13 @@ def precompute(
     n = 0
     for bi, batch in enumerate(batched(ds.iter_slice(process_index, process_count),
                                        batch_size)):
-        captions = [b["caption"] for b in batch]
-        tok = tokenizer.tokenize(captions)
-        cond, _ = text_encoder.encode(
-            tok["input_ids"], attention_mask=tok.get("attention_mask")
-        )
-        cond = np.asarray(cond, np.float32).astype(out_dtype)
-
-        latents = {}
-        for size in resize_sizes:
-            imgs = np.stack([b[f"image_{size}"] for b in batch])  # (B,3,S,S) [-1,1]
-            z = vae.encode(imgs, rng=jax.random.fold_in(rng, bi * 10 + size))
-            latents[size] = (
-                np.asarray(z, np.float32) * vae.scaling_factor
-            ).astype(out_dtype)
-
-        for i, b in enumerate(batch):
-            sample = {
-                caption_key: captions[i],
-                f"{caption_key}_latents": cond[i].reshape(-1).tobytes(),
-                **{
-                    f"latents_{s}": latents[s][i].tobytes()
-                    for s in resize_sizes
-                },
-            }
-            if save_images:
-                sample["jpg"] = b["sample"]["jpg"]
-            writer.write(sample)
-            n += 1
+        try:
+            n += _encode_and_write(
+                batch, bi, tokenizer, text_encoder, vae, resize_sizes, caption_key,
+                out_dtype, save_images, writer, rng,
+            )
+        except Exception as e:  # fail-soft per batch (reference precompute.py:232-233)
+            print(f"[precompute] skipping batch {bi}: {e}")
     writer.finish()
 
     # barrier + index merge (reference precompute.py:238-248)
@@ -127,6 +106,39 @@ def precompute(
     if process_index == 0:
         merge_index(savedir)
     return n
+
+
+def _encode_and_write(batch, bi, tokenizer, text_encoder, vae, resize_sizes,
+                      caption_key, out_dtype, save_images, writer, rng):
+    import jax
+
+    captions = [b["caption"] for b in batch]
+    tok = tokenizer.tokenize(captions)
+    cond, _ = text_encoder.encode(
+        tok["input_ids"], attention_mask=tok.get("attention_mask")
+    )
+    cond = np.asarray(cond, np.float32).astype(out_dtype)
+
+    latents = {}
+    for size in resize_sizes:
+        imgs = np.stack([b[f"image_{size}"] for b in batch])  # (B,3,S,S) [-1,1]
+        z = vae.encode(imgs, rng=jax.random.fold_in(rng, bi * 10 + size))
+        latents[size] = (
+            np.asarray(z, np.float32) * vae.scaling_factor
+        ).astype(out_dtype)
+
+    written = 0
+    for i, b in enumerate(batch):
+        sample = {
+            caption_key: captions[i],
+            f"{caption_key}_latents": cond[i].reshape(-1).tobytes(),
+            **{f"latents_{s}": latents[s][i].tobytes() for s in resize_sizes},
+        }
+        if save_images:
+            sample["jpg"] = b["sample"]["jpg"]
+        writer.write(sample)
+        written += 1
+    return written
 
 
 def main(argv=None):

@@ -48,6 +48,35 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
 
 
+def make_multislice_mesh(
+    dcn_data: int,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice mesh: pure data parallelism over DCN (slice boundary), fsdp/tensor
+    inside each slice over ICI - gradient all-reduce is the only DCN traffic, which is
+    the standard multi-slice recipe. Uses mesh_utils hybrid layout so the axis order
+    maps slices to the DCN dimension."""
+    from jax.experimental import mesh_utils
+
+    devices = list(devices if devices is not None else jax.devices())
+    per_slice = len(devices) // dcn_data
+    data_inner = per_slice // (fsdp * tensor)
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data_inner, fsdp, tensor),
+            dcn_mesh_shape=(dcn_data, 1, 1),
+            devices=devices,
+        )
+    except ValueError:
+        # devices without slice topology (e.g. fake CPU devices in tests): contiguous
+        # groups stand in for slices
+        arr = np.array(devices).reshape(dcn_data, data_inner, fsdp, tensor)
+    arr = arr.reshape(dcn_data * data_inner, fsdp, tensor)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over data x fsdp."""
     return NamedSharding(mesh, P(BATCH_AXES))

@@ -211,3 +211,12 @@ def test_eval_step():
     ev = jax.jit(make_eval_step(model))
     loss = ev(params, make_batch(4), jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_multislice_mesh():
+    """Hybrid DCN x ICI mesh: 2 'slices' x 4 chips, fsdp inside the slice."""
+    from micro_diffusion_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(dcn_data=2, fsdp=2, tensor=1)
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2, "tensor": 1}
+    assert mesh.devices.size == 8
