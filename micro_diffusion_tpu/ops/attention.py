@@ -19,9 +19,13 @@ import jax.numpy as jnp
 
 
 def _default_impl() -> str:
-    """'xla' | 'pallas', read per-call so tests/benchmarks can flip the backend.
-    MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode (CPU)."""
-    return os.environ.get("MDT_ATTENTION_IMPL", "xla")
+    """'auto' | 'xla' | 'pallas', read per-call so tests/benchmarks can flip the
+    backend. MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode.
+
+    'auto' (default): the Pallas flash kernel on TPU for sequences >= 256 (measured
+    +25% on the 512px-unmasked XL train step), XLA otherwise (tiny sequences and
+    non-TPU backends)."""
+    return os.environ.get("MDT_ATTENTION_IMPL", "auto")
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
@@ -56,6 +60,9 @@ def dot_product_attention(
     impl = impl or _default_impl()
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 

@@ -335,8 +335,6 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         total, count = 0.0, 0
         loader = self.eval_loader
-        if hasattr(loader, "num_epochs"):
-            loader.num_epochs = (loader.state_dict()["epoch"] if False else None)
         for i, batch in enumerate(self._one_eval_epoch(loader)):
             batch = jax.tree.map(
                 lambda x: jax.device_put(x, self._b_sh), batch

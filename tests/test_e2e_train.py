@@ -192,3 +192,16 @@ def test_weights_only_load_resets_step(tmp_path, dataset_dir):
         int(d) for d in os.listdir(tmp_path / "w2" / "ckpts") if d.isdigit()
     )
     assert steps[-1] == 2  # step reset to 0, trained 2
+
+
+def test_autoresume(tmp_path, dataset_dir):
+    """autoresume=True picks up the latest checkpoint in save_folder."""
+    make_config(tmp_path, dataset_dir, "ar", max_duration="3ba", autoresume=True)
+    train_main(["--config-path", str(tmp_path), "--config-name", "ar"])
+    # second run with a longer schedule resumes from step 3
+    make_config(tmp_path, dataset_dir, "ar", max_duration="5ba", autoresume=True)
+    train_main(["--config-path", str(tmp_path), "--config-name", "ar"])
+    steps = sorted(
+        int(d) for d in os.listdir(tmp_path / "ar" / "ckpts") if d.isdigit()
+    )
+    assert steps[-1] == 5
