@@ -22,9 +22,10 @@ def _default_impl() -> str:
     """'auto' | 'xla' | 'pallas', read per-call so tests/benchmarks can flip the
     backend. MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode.
 
-    'auto' (default): the Pallas flash kernel on TPU for sequences >= 256 (measured
-    +25% on the 512px-unmasked XL train step), XLA otherwise (tiny sequences and
-    non-TPU backends)."""
+    'auto' (default): the Pallas flash kernel on TPU for sequences >= 512, XLA
+    otherwise. Measured on XL train steps (one v5e chip): T=1024 flash is +25%
+    (545.6 -> 434.0 ms/step, 512px unmasked); T=256 flash is -11% (the per-(b,h)
+    full-K program is too small to amortize), so the crossover sits between."""
     return os.environ.get("MDT_ATTENTION_IMPL", "auto")
 
 
@@ -62,7 +63,7 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 512) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention
 
