@@ -90,6 +90,53 @@ def build_schedule(cfg: dict, base_lr: float, t_max: int) -> Callable:
 # ----------------------------------------------------------------------- optimizer
 
 
+def scale_by_adam_low_precision(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype: Any = jnp.bfloat16,
+    nu_dtype: Any = jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """Adam scaling with BOTH moments stored in reduced precision (update math in
+    fp32). Cuts optimizer-state HBM (and update traffic) ~2x vs fp32 moments - the
+    single-chip memory lever beyond optax's mu_dtype (which only covers mu).
+
+    Note: bf16 nu loses ~3 decimal digits on the second moment; appropriate for
+    throughput benchmarking and large-batch training, opt-in for convergence-critical
+    runs.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mu_dtype), params),
+            nu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=nu_dtype), params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        b1c = 1 - b1**count.astype(jnp.float32)
+        b2c = 1 - b2**count.astype(jnp.float32)
+
+        def upd(g, mu, nu):
+            g32 = g.astype(jnp.float32)
+            mu32 = b1 * mu.astype(jnp.float32) + (1 - b1) * g32
+            nu32 = b2 * nu.astype(jnp.float32) + (1 - b2) * g32 * g32
+            out = (mu32 / b1c) / (jnp.sqrt(nu32 / b2c) + eps)
+            return out, mu32.astype(mu_dtype), nu32.astype(nu_dtype)
+
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        outs = [upd(g, m, v) for g, m, v in zip(flat_u, flat_mu, flat_nu)]
+        new_updates = treedef.unflatten([o[0] for o in outs])
+        new_mu = treedef.unflatten([o[1] for o in outs])
+        new_nu = treedef.unflatten([o[2] for o in outs])
+        return new_updates, optax.ScaleByAdamState(count=count, mu=new_mu, nu=new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _label_params(params: Any, moe_matcher: str = "moe") -> Any:
     """Label each param 'moe' or 'rest' by path substring (train.py:29-30 semantics)."""
 
@@ -112,13 +159,24 @@ def build_optimizer(
     moe_lr_factor: float = 0.5,
     moe_matcher: str = "moe",
     mu_dtype: Any = None,
+    low_precision_moments: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW (+ global-norm clip) with optional reduced-lr group for MoE params.
 
-    ``mu_dtype`` can be jnp.bfloat16 to halve first-moment memory on HBM-tight chips.
+    ``mu_dtype`` can be jnp.bfloat16 to halve first-moment memory;
+    ``low_precision_moments`` stores BOTH Adam moments in bf16 (fp32 math) - the
+    aggressive single-chip memory/bandwidth option.
     """
 
     def adamw(factor):
+        if low_precision_moments:
+            return optax.chain(
+                scale_by_adam_low_precision(betas[0], betas[1], eps),
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_learning_rate(
+                    lambda step: lr_schedule(step) * factor
+                ),
+            )
         return optax.adamw(
             learning_rate=lambda step: lr_schedule(step) * factor,
             b1=betas[0],

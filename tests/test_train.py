@@ -250,3 +250,38 @@ def test_single_batch_overfit():
         state, _ = step(state, batch, rng)
     loss1 = float(ev(state.params, batch, eval_rng))
     assert loss1 < 0.92 * loss0, (loss0, loss1)
+
+
+def test_low_precision_adam_matches_fp32():
+    """bf16-moment Adam must track fp32 optax.adamw closely over a few steps."""
+    import optax
+    from micro_diffusion_tpu.train.optim import scale_by_adam_low_precision
+
+    params = {"w": jnp.linspace(-1, 1, 64).reshape(8, 8)}
+    tx_ref = optax.scale_by_adam()
+    tx_lp = scale_by_adam_low_precision()
+    s_ref, s_lp = tx_ref.init(params), tx_lp.init(params)
+    p_ref = p_lp = params
+    for i in range(10):
+        g = {"w": jnp.sin(jnp.arange(64.0) + i).reshape(8, 8) * 0.1}
+        u_ref, s_ref = tx_ref.update(g, s_ref, p_ref)
+        u_lp, s_lp = tx_lp.update(g, s_lp, p_lp)
+        p_ref = optax.apply_updates(p_ref, jax.tree.map(lambda u: -1e-3 * u, u_ref))
+        p_lp = optax.apply_updates(p_lp, jax.tree.map(lambda u: -1e-3 * u, u_lp))
+    np.testing.assert_allclose(
+        np.asarray(p_lp["w"]), np.asarray(p_ref["w"]), rtol=2e-3, atol=2e-5
+    )
+
+
+def test_build_optimizer_low_precision_moments():
+    model = micro_model(train_mask_ratio=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    sched = cosine_with_warmup(1e-3, 10, 100, 0.0)
+    tx = build_optimizer(params, sched, clip_norm=0.25, low_precision_moments=True)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx, sched), donate_argnums=(0,))
+    state, m = step(state, make_batch(8), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # both moments stored in bf16
+    mus = [l for l in jax.tree.leaves(state.opt_state) if l.dtype == jnp.bfloat16]
+    assert len(mus) > 0
