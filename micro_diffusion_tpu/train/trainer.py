@@ -296,10 +296,19 @@ class Trainer:
         step = mgr.latest_step()
         assert step is not None, f"no checkpoints under {load_path}"
         template = jax.tree.map(np.asarray, self._state_to_save())
-        restored = mgr.restore(
-            step,
-            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
-        )
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+            )
+        except Exception:
+            # structure mismatch (e.g. checkpoint saved without EMA, loading into an
+            # EMA-enabled stage): retry with the non-EMA template
+            template.pop("ema_params", None)
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+            )
         self._apply_restored(restored["state"], weights_only=weights_only)
         self.print(
             f"loaded {'weights' if weights_only else 'full state'} from "
@@ -318,13 +327,19 @@ class Trainer:
                     ema_params=jax.tree.map(jnp.copy, params)
                 )
             return
+        if self.state.ema_params is None:
+            ema = None
+        elif "ema_params" in restored:
+            ema = put(restored["ema_params"], self._p_sh)
+        else:
+            # checkpoint has no EMA (e.g. stage 2 -> stage 3 chaining where EMA starts
+            # fresh): mirror the loaded params, not the stale init
+            ema = jax.tree.map(jnp.copy, params)
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=params,
             opt_state=put(restored["opt_state"], self._o_sh),
-            ema_params=put(restored["ema_params"], self._p_sh)
-            if "ema_params" in restored and self.state.ema_params is not None
-            else self.state.ema_params,
+            ema_params=ema,
         )
 
     # ------------------------------------------------------------------ eval

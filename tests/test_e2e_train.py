@@ -205,3 +205,30 @@ def test_autoresume(tmp_path, dataset_dir):
         int(d) for d in os.listdir(tmp_path / "ar" / "ckpts") if d.isdigit()
     )
     assert steps[-1] == 5
+
+
+def test_ema_stage_transition(tmp_path, dataset_dir):
+    """Stage 2 (no EMA) checkpoint loads into stage 3 (EMA enabled): ema must start as
+    a mirror of the LOADED params (reference stage chaining res_512_pretrain.yaml)."""
+    make_config(tmp_path, dataset_dir, "noema", max_duration="2ba")
+    train_main(["--config-path", str(tmp_path), "--config-name", "noema"])
+
+    cfg_path = make_config(
+        tmp_path, dataset_dir, "withema",
+        load_path=str(tmp_path / "noema" / "ckpts"),
+        max_duration="4ba",
+    )
+    # add EMA algorithm block
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["algorithms"]["ema"] = {
+        "_target_": "diffusion.algorithms.ema.EMA",
+        "smoothing": 0.99, "ema_start": "0ba", "update_interval": "1ba",
+    }
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    train_main(["--config-path", str(tmp_path), "--config-name", "withema"])
+    steps = sorted(
+        int(d) for d in os.listdir(tmp_path / "withema" / "ckpts") if d.isdigit()
+    )
+    assert steps[-1] == 4
