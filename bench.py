@@ -48,12 +48,19 @@ def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
     gf += 2 * 2 * (6 * t_full**2 * 768 + 28 * t_keep**2 * 790) / 1e9
     return gf
 
-# (name, latent_res, mask_ratio, schedule_steps, microbatch ladder)
+# (name, latent_res, mask_ratio, schedule_steps, config ladder of (remat_policy, mb)).
+# Ladders start at the measured-best config (PERF.md) and fall back on compile/OOM
+# failures (the environment's remote compile helper intermittently 500s on large
+# graphs; every ladder ends with small known-good configs).
 STAGES = [
-    ("res256_mask75", 32, 0.75, 250_000, (64, 32, 16)),
-    ("res256_mask0", 32, 0.0, 30_000, (32, 16, 8)),
-    ("res512_mask75", 64, 0.75, 50_000, (16, 8, 4)),
-    ("res512_mask0", 64, 0.0, 55_000, (8, 4, 2)),
+    ("res256_mask75", 32, 0.75, 250_000,
+     (("full", 64), ("full", 32), ("full", 16))),
+    ("res256_mask0", 32, 0.0, 30_000,
+     (("dots", 16), ("full", 32), ("full", 16), ("full", 8))),
+    ("res512_mask75", 64, 0.75, 50_000,
+     (("dots", 16), ("full", 16), ("full", 8), ("full", 4))),
+    ("res512_mask0", 64, 0.0, 55_000,
+     (("full", 8), ("full", 4), ("full", 2))),
 ]
 
 
@@ -83,28 +90,28 @@ def fast_params(model, rng):
     return jax.tree_util.tree_unflatten(treedef, init_leaves(rng))
 
 
-def bench_stage(name, latent_res, mask_ratio, mb_ladder, timed_steps):
-    dit = MicroDiT_XL_2(input_size=latent_res, remat=True)
-    model = LatentDiffusion(
-        dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio, latent_scale=1.0
-    )
-    rng = jax.random.PRNGKey(0)
-    log(f"[{name}] creating XL params...")
-    params = fast_params(model, rng)
+def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
+    for policy, mb in config_ladder:
+        dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy)
+        model = LatentDiffusion(
+            dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio,
+            latent_scale=1.0,
+        )
+        rng = jax.random.PRNGKey(0)
+        log(f"[{name}] creating XL params (remat={policy}, mb={mb})...")
+        params = fast_params(model, rng)
 
-    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
-    # First-moment in bf16: a production memory lever to fit AdamW for 1.16B params in
-    # one chip's HBM; the multi-chip recipe shards optimizer state instead (parallel/).
-    tx = build_optimizer(params, sched, clip_norm=0.25, mu_dtype=jnp.bfloat16)
-    state = create_train_state(params, tx)
-    del params
+        sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+        # bf16 first moment: memory lever to fit AdamW for 1.16B params in one chip's
+        # HBM; the multi-chip recipe shards optimizer state instead (parallel/).
+        tx = build_optimizer(params, sched, clip_norm=0.25, mu_dtype=jnp.bfloat16)
+        state = create_train_state(params, tx)
+        del params
 
-    step_fn = jax.jit(
-        make_train_step(model, tx, sched, microbatch_size=None),
-        donate_argnums=(0,),
-    )
-
-    for mb in mb_ladder:
+        step_fn = jax.jit(
+            make_train_step(model, tx, sched, microbatch_size=None),
+            donate_argnums=(0,),
+        )
         batch = {
             "image_latents": jax.random.normal(
                 jax.random.PRNGKey(1), (mb, 4, latent_res, latent_res)
@@ -115,7 +122,6 @@ def bench_stage(name, latent_res, mask_ratio, mb_ladder, timed_steps):
             "drop_caption_mask": jnp.ones((mb,)),
         }
         try:
-            log(f"[{name}] trying microbatch {mb} (compile)...")
             t0 = time.time()
             state2, metrics = step_fn(state, batch, rng)
             # NOTE: through the axon relay, block_until_ready can return before the
@@ -132,17 +138,14 @@ def bench_stage(name, latent_res, mask_ratio, mb_ladder, timed_steps):
             dt = (time.time() - t0) / timed_steps
             img_s = mb / dt
             log(
-                f"[{name}] microbatch {mb}: {dt * 1e3:.1f} ms/step = "
+                f"[{name}] remat={policy} microbatch {mb}: {dt * 1e3:.1f} ms/step = "
                 f"{img_s:.1f} img/s/chip (loss {final_loss:.4f})"
             )
             return img_s, mb
-        except Exception as e:  # OOM -> try smaller microbatch
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "OOM" in msg:
-                log(f"[{name}] microbatch {mb} OOM, trying smaller")
-                continue
-            raise
-    raise RuntimeError(f"{name}: all microbatch sizes OOM")
+        except Exception as e:  # OOM or flaky remote-compile 500 -> next config
+            log(f"[{name}] config (remat={policy}, mb={mb}) failed: {str(e)[:120]}")
+            continue
+    raise RuntimeError(f"{name}: all configs failed")
 
 
 def main():
