@@ -258,3 +258,53 @@ def test_create_latent_diffusion_ostris_16ch():
     # x_embedder consumes 16 channels
     k = params["params"]["x_embedder"]["proj"]["kernel"]
     assert k.shape == (2, 2, 16, 512)
+
+
+def test_sampler_churn_branch():
+    """S_churn > 0 path (gamma noise injection, model.py:260-271): verify against a
+    numpy replica using the same per-step fold_in noise draws."""
+    import dataclasses
+
+    alpha = 0.1
+    model = StubDiffusion(alpha=alpha, dit=micro_model().dit, latent_scale=1.0)
+    model.edm_config = dataclasses.replace(
+        model.edm_config, S_churn=4.0, S_min=0.01, S_max=60.0, S_noise=1.003
+    )
+    steps = 6
+    x0 = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16)))
+    rng = jax.random.PRNGKey(5)
+    ours = jax.jit(
+        lambda xx: model.edm_sampler_loop(None, xx, None, steps=steps, rng=rng)
+    )(jnp.asarray(x0))
+
+    cfg = model.edm_config
+    sd = 0.9
+    t_steps = model._sigma_schedule(steps)
+
+    def denoise(x, sigma):
+        c_skip = sd**2 / (sigma**2 + sd**2)
+        c_out = sigma * sd / np.sqrt(sigma**2 + sd**2)
+        c_in = 1.0 / np.sqrt(sd**2 + sigma**2)
+        return c_skip * x + c_out * (alpha * (c_in * x))
+
+    x_next = x0.astype(np.float64) * t_steps[0]
+    for i, (t_cur, t_next) in enumerate(zip(t_steps[:-1], t_steps[1:])):
+        x_cur = x_next
+        gamma = (
+            min(cfg.S_churn / steps, math.sqrt(2) - 1)
+            if cfg.S_min <= t_cur <= cfg.S_max else 0.0
+        )
+        t_hat = t_cur + gamma * t_cur
+        noise = np.asarray(
+            jax.random.normal(jax.random.fold_in(rng, i), x_cur.shape)
+        )
+        x_hat = x_cur + np.sqrt(max(t_hat**2 - t_cur**2, 0.0)) * cfg.S_noise * noise
+        d_cur = (x_hat - denoise(x_hat, t_hat)) / t_hat
+        x_next = x_hat + (t_next - t_hat) * d_cur
+        if i < steps - 1:
+            d_prime = (x_next - denoise(x_next, t_next)) / t_next
+            x_next = x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)
+
+    np.testing.assert_allclose(
+        np.asarray(ours), x_next.astype(np.float32), rtol=2e-3, atol=2e-3
+    )
