@@ -22,3 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+# Persistent compilation cache: the e2e tests compile many near-identical train/eval
+# programs; caching executables on disk cuts suite time substantially across runs.
+import tempfile
+
+_cache_dir = os.path.join(tempfile.gettempdir(), "mdt_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
