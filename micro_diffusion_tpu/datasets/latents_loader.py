@@ -185,31 +185,52 @@ class LatentsDataLoader:
             self._step_in_epoch = 0
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Prefetching iterator: batches are assembled in a background thread."""
+        """Prefetching iterator: batches are assembled in a background thread.
+
+        The producer watches a stop event so abandoning the iterator early (e.g. the
+        trainer breaking at max_duration) releases the thread and its prefetched
+        batches instead of leaving it blocked on a full queue."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_factor)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for item in self._batches():
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                while True:  # sentinel must land even if the queue is full
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            state, batch = item
-            self._consumed_state = state
-            yield batch
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                state, batch = item
+                self._consumed_state = state
+                yield batch
+        finally:
+            stop.set()
 
 
 def build_streaming_latents_dataloader(

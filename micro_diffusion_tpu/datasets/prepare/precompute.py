@@ -74,9 +74,13 @@ def precompute(
     out_dtype = {"float16": np.float16, "float32": np.float32,
                  "bfloat16": np.float16}[save_dtype]
 
+    # Output columns are ALWAYS the canonical caption/caption_latents names regardless
+    # of the source caption key (e.g. sa1b's caption_syn_pixart_llava15) - the training
+    # loader reads 'caption_latents' (reference precompute writes the canonical name
+    # too, sa1b/precompute.py output columns).
     columns = {
-        caption_key: "str",
-        f"{caption_key}_latents": "bytes",
+        "caption": "str",
+        "caption_latents": "bytes",
         **{f"latents_{s}": "bytes" for s in resize_sizes},
     }
     if save_images:
@@ -91,7 +95,7 @@ def precompute(
                                        batch_size)):
         try:
             n += _encode_and_write(
-                batch, bi, tokenizer, text_encoder, vae, resize_sizes, caption_key,
+                batch, bi, tokenizer, text_encoder, vae, resize_sizes,
                 out_dtype, save_images, writer, rng,
             )
         except Exception as e:  # fail-soft per batch (reference precompute.py:232-233)
@@ -109,7 +113,7 @@ def precompute(
 
 
 def _encode_and_write(batch, bi, tokenizer, text_encoder, vae, resize_sizes,
-                      caption_key, out_dtype, save_images, writer, rng):
+                      out_dtype, save_images, writer, rng):
     import jax
 
     captions = [b["caption"] for b in batch]
@@ -130,8 +134,8 @@ def _encode_and_write(batch, bi, tokenizer, text_encoder, vae, resize_sizes,
     written = 0
     for i, b in enumerate(batch):
         sample = {
-            caption_key: captions[i],
-            f"{caption_key}_latents": cond[i].reshape(-1).tobytes(),
+            "caption": captions[i],
+            "caption_latents": cond[i].reshape(-1).tobytes(),
             **{f"latents_{s}": latents[s][i].tobytes() for s in resize_sizes},
         }
         if save_images:

@@ -76,7 +76,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ..models.diffusion import create_latent_diffusion
-    from ..models.interop import load_torch_checkpoint
+    from ..models.interop import load_any_checkpoint
     from ..models.text_encoders import UniversalTokenizer
 
     model = create_latent_diffusion(
@@ -92,7 +92,7 @@ def main(argv=None):
     model.tokenizer = UniversalTokenizer(
         args.text_encoder, tokenizer_dir=args.tokenizer_dir
     )
-    params = load_torch_checkpoint(args.checkpoint)
+    params = load_any_checkpoint(args.checkpoint)
 
     with open(args.captions) as f:
         captions = json.load(f)

@@ -175,9 +175,14 @@ class DiTBlock(nn.Module):
 
 
 def _moe_block_flags(depth: int, experts_every_n: int, *, skip_last: bool) -> list[bool]:
-    """Every n-th block is MoE; the last backbone block never is (dit.py:345-353,410-418)."""
-    last = depth - 1 if skip_last else depth
-    moe_idx = {i for i in range(1, last) if (i + 1) % experts_every_n == 0}
+    """Every n-th block is MoE. Backbone candidates are range(0, depth-1) - block 0 can
+    be MoE when experts_every_n == 1, never the last block (dit.py:410-414); mixer
+    candidates are range(1, depth) (dit.py:346-349)."""
+    if skip_last:  # backbone
+        candidates = range(0, depth - 1)
+    else:  # patch mixer
+        candidates = range(1, depth)
+    moe_idx = {i for i in candidates if (i + 1) % experts_every_n == 0}
     return [i in moe_idx for i in range(depth)]
 
 

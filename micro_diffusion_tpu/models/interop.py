@@ -178,6 +178,28 @@ def load_torch_checkpoint(path: str, strict: bool = True) -> Dict[str, Any]:
     return {"params": torch_state_dict_to_params(sd, strict=strict)}
 
 
+def load_any_checkpoint(path: str, strict: bool = True) -> Dict[str, Any]:
+    """Load DiT params from either a torch .pt file (reference checkpoints) or an orbax
+    checkpoint directory written by our Trainer (extracts the 'params' entry; prefers
+    'ema_params' when present, matching how eval should use EMA weights)."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(path))
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {path}")
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )
+        state = restored["state"]
+        params = state.get("ema_params") or state["params"]
+        return params
+    return load_torch_checkpoint(path, strict=strict)
+
+
 def validate_params_match(converted: Dict[str, Any], reference: Dict[str, Any]) -> None:
     """Assert two param trees have identical structure and shapes (for load checks)."""
     import jax

@@ -237,6 +237,10 @@ class LogDiffusionImages(Callback):
             # log latent statistics instead of images
             trainer.log({"images/latent_std": float(images.std())})
             return
-        for i, prompt in enumerate(self.prompts[: images.shape[0]]):
+        # fall back to index names when driven by precomputed prompt embeddings
+        names = self.prompts or [
+            f"prompt_{i}" for i in range(images.shape[0])
+        ]
+        for i, prompt in enumerate(names[: images.shape[0]]):
             for logger in trainer.loggers:
                 logger.log_images(prompt[:100], images[i], int(trainer.global_step))

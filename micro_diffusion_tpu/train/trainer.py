@@ -344,6 +344,18 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
+    def _stage_batch(self, batch: Any) -> Any:
+        """Place a PER-HOST batch onto the global batch sharding. Multi-host: each
+        host's local array is one shard of the global batch
+        (jax.make_array_from_process_local_data); plain device_put would treat each
+        host's local rows as the whole global array."""
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(self._b_sh, x),
+                batch,
+            )
+        return jax.tree.map(lambda x: jax.device_put(x, self._b_sh), batch)
+
     def evaluate(self) -> Optional[float]:
         if self.eval_loader is None:
             return None
@@ -351,9 +363,7 @@ class Trainer:
         total, count = 0.0, 0
         loader = self.eval_loader
         for i, batch in enumerate(self._one_eval_epoch(loader)):
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, self._b_sh), batch
-            )
+            batch = self._stage_batch(batch)
             loss = self._eval_fn(
                 self.eval_params(), batch, jax.random.fold_in(rng, i)
             )
@@ -398,13 +408,13 @@ class Trainer:
         )
 
         while self.global_step < self.max_steps:
+            made_progress = False
             for batch in self.train_loader:
+                made_progress = True
                 step = self.global_step
                 if step >= self.max_steps:
                     break
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(x, self._b_sh), batch
-                )
+                batch = self._stage_batch(batch)
                 self.state, metrics = self._step_fn(self.state, batch, rng)
                 pending_metrics = metrics
 
@@ -425,6 +435,14 @@ class Trainer:
                 if self.save_interval and next_step % self.save_interval == 0:
                     self.save()
             else:
+                if not made_progress:
+                    # finite loader exhausted (e.g. num_epochs set) before
+                    # max_duration: stop instead of spinning on an empty iterator
+                    self.print(
+                        f"train loader exhausted at step {self.global_step} "
+                        f"(before max_duration {self.max_steps}ba); stopping"
+                    )
+                    break
                 continue
             break
 

@@ -148,3 +148,22 @@ def test_strip_composer_prefixes():
     out = _strip_prefixes(sd)
     assert "blocks.0.norm1.weight" in out
     assert "pos_embed" in out
+
+
+def test_load_any_checkpoint_orbax(tmp_path):
+    """load_any_checkpoint reads our Trainer's orbax layout and prefers EMA params."""
+    import orbax.checkpoint as ocp
+
+    from micro_diffusion_tpu.models.interop import load_any_checkpoint
+
+    state = {
+        "step": np.asarray(7),
+        "params": {"params": {"w": np.ones((2, 2), np.float32)}},
+        "opt_state": {"count": np.asarray(7)},
+        "ema_params": {"params": {"w": np.full((2, 2), 3.0, np.float32)}},
+    }
+    mgr = ocp.CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save(7, args=ocp.args.Composite(state=ocp.args.StandardSave(state)))
+    mgr.wait_until_finished()
+    params = load_any_checkpoint(str(tmp_path / "ckpts"))
+    np.testing.assert_array_equal(np.asarray(params["params"]["w"]), 3.0)  # EMA wins
