@@ -24,6 +24,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: XL train-step compiles take 3-10 min through this
+# environment's remote compile service; cache hits bring reruns down to seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "mdt_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 from micro_diffusion_tpu.models.diffusion import LatentDiffusion
 from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
 from micro_diffusion_tpu.train import build_optimizer, create_train_state, make_train_step
