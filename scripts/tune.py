@@ -1,0 +1,253 @@
+"""Single-config train-step throughput probe for the 4 recipe stages (run on TPU).
+
+Run one (stage, remat, microbatch, accum, nu_dtype) config, time the jit'd train step
+with a value-fetch barrier (block_until_ready does not block through the axon relay),
+and append one JSON line to tune_results.jsonl. Designed to be driven serially by
+scripts/sweep_r2.sh with each config in its own subprocess so a compile crash / OOM
+can't kill the sweep.
+
+  python scripts/tune.py --stage res512_mask0 --remat dots --mb 8 --nu bf16
+  python scripts/tune.py --stage res256_mask75 --remat full --mb 64 --accum 4
+  python scripts/tune.py --stage res256_mask75 --fwd-flops   # XLA cost_analysis of fwd
+
+Notes:
+  * accum k: batch = k*mb, lax.scan over k microbatches, ONE optimizer update - the
+    reference's Composer semantics (device_train_microbatch_size vs per-rank batch).
+  * --fwd-flops compiles the fwd loss alone and records XLA cost_analysis flops, the
+    ground truth for MFU accounting (VERDICT.md weak #2).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench  # configures the persistent compilation cache at import
+from micro_diffusion_tpu.models.diffusion import LatentDiffusion
+from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
+from micro_diffusion_tpu.train import build_optimizer, create_train_state, make_train_step
+from micro_diffusion_tpu.train.optim import cosine_with_warmup
+
+STAGES = {
+    "res256_mask75": (32, 0.75),
+    "res256_mask0": (32, 0.0),
+    "res512_mask75": (64, 0.75),
+    "res512_mask0": (64, 0.0),
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(rec):
+    rec["ts"] = time.strftime("%H:%M:%S")
+    line = json.dumps(rec)
+    print(line)
+    with open(os.path.join(os.path.dirname(__file__), "..", "tune_results.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+def build(stage, remat, mb):
+    res, mask = STAGES[stage]
+    dit = MicroDiT_XL_2(
+        input_size=res,
+        remat=(remat != "none"),
+        remat_policy=remat if remat != "none" else "full",
+    )
+    model = LatentDiffusion(
+        dit=dit, latent_res=res, train_mask_ratio=mask, latent_scale=1.0
+    )
+    rng = jax.random.PRNGKey(0)
+    params = bench.fast_params(model, rng)
+    return model, params, rng
+
+
+def make_batch(mb, res):
+    return {
+        "image_latents": jax.random.normal(jax.random.PRNGKey(1), (mb, 4, res, res)),
+        "caption_latents": jax.random.normal(jax.random.PRNGKey(2), (mb, 1, 77, 1024)),
+        "drop_caption_mask": jnp.ones((mb,)),
+    }
+
+
+def measure_fwd_flops(stage):
+    """XLA cost_analysis flops of the fwd EDM loss (per sample) - ground-truth MFU base."""
+    res, _ = STAGES[stage]
+    model, params, rng = build(stage, "none", 1)
+    batch = make_batch(1, res)
+
+    def loss_fn(params, rng, b):
+        loss, _, _ = model.forward(params, rng, b, train=True)
+        return loss
+
+    lowered = jax.jit(loss_fn).lower(params, rng, batch)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", float("nan")))
+    emit({"kind": "fwd_flops", "stage": stage, "flops_per_sample": flops,
+          "gflops_per_sample": flops / 1e9})
+    log(f"[{stage}] fwd cost_analysis: {flops / 1e9:.2f} GFLOP/sample")
+
+
+def run_breakdown(args):
+    """Time fwd-only, fwd+bwd, and full step separately to locate the overhead."""
+    res, mask = STAGES[args.stage]
+    model, params, rng = build(args.stage, args.remat, args.mb)
+    batch = make_batch(args.mb, res)
+
+    def loss_fn(params, rng, b):
+        loss, _, _ = model.forward(params, rng, b, train=True)
+        return loss
+
+    fwd = jax.jit(loss_fn)
+    fwd_bwd = jax.jit(lambda p, r, b: jax.value_and_grad(loss_fn)(p, r, b)[0])
+
+    out = {"kind": "breakdown", "stage": args.stage, "remat": args.remat,
+           "mb": args.mb}
+    for name, fn in (("fwd", fwd), ("fwd_bwd", fwd_bwd)):
+        t0 = time.time()
+        float(fn(params, rng, batch))
+        log(f"[{name}] compile+first: {time.time() - t0:.0f}s")
+        float(fn(params, rng, batch))
+        t0 = time.time()
+        for _ in range(args.steps):
+            loss = fn(params, rng, batch)
+        float(loss)
+        out[f"{name}_ms"] = round((time.time() - t0) / args.steps * 1e3, 1)
+        log(f"[{name}] {out[f'{name}_ms']} ms")
+    emit(out)
+
+
+def run_inner(args):
+    """K chained train steps inside ONE jit (lax.scan): pure device time without
+    per-dispatch relay overhead. Compare ms/step against the dispatch-loop number."""
+    res, mask = STAGES[args.stage]
+    model, params, rng = build(args.stage, args.remat, args.mb)
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    tx = build_optimizer(
+        params, sched, clip_norm=0.25,
+        mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None,
+        low_precision_moments=(args.nu == "bf16"),
+    )
+    state = create_train_state(params, tx)
+    del params
+    step = make_train_step(model, tx, sched, microbatch_size=None)
+    batch = make_batch(args.mb, res)
+    k = args.inner
+
+    @jax.jit
+    def multi_step(state, batch, rng):
+        def body(s, i):
+            s2, m = step(s, batch, jax.random.fold_in(rng, i))
+            return s2, m["loss"]
+        return jax.lax.scan(body, state, jnp.arange(k))
+
+    t0 = time.time()
+    state, losses = multi_step(state, batch, rng)
+    float(losses[-1])
+    log(f"compile+first {k}-step chain: {time.time() - t0:.0f}s")
+    t0 = time.time()
+    state, losses = multi_step(state, batch, rng)
+    final = float(losses[-1])
+    dt = (time.time() - t0) / k
+    emit({"kind": "inner", "stage": args.stage, "remat": args.remat, "mb": args.mb,
+          "nu": args.nu, "inner_k": k, "ms_per_step": round(dt * 1e3, 1),
+          "img_per_sec": round(args.mb / dt, 2), "loss": round(final, 4)})
+    log(f"{dt * 1e3:.1f} ms/device-step = {args.mb / dt:.1f} img/s")
+
+
+def run(args):
+    res, mask = STAGES[args.stage]
+    model, params, rng = build(args.stage, args.remat, args.mb)
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    tx = build_optimizer(
+        params, sched, clip_norm=0.25,
+        mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None,
+        low_precision_moments=(args.nu == "bf16"),
+    )
+    state = create_train_state(params, tx)
+    del params
+
+    batch_size = args.mb * args.accum
+    step_fn = jax.jit(
+        make_train_step(model, tx, sched,
+                        microbatch_size=args.mb if args.accum > 1 else None),
+        donate_argnums=(0,),
+    )
+    batch = make_batch(batch_size, res)
+
+    cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
+           "accum": args.accum, "nu": args.nu}
+    log(f"config: {cfg}")
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, rng)
+    loss0 = float(metrics["loss"])
+    compile_s = time.time() - t0
+    log(f"compile+first step: {compile_s:.0f}s (loss {loss0:.4f})")
+    state, metrics = step_fn(state, batch, rng)
+    float(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch, rng)
+    final_loss = float(metrics["loss"])
+    dt = (time.time() - t0) / args.steps
+    img_s = batch_size / dt
+
+    rec = {"kind": "train_step", **cfg, "ms_per_step": round(dt * 1e3, 1),
+           "img_per_sec": round(img_s, 2), "compile_s": round(compile_s, 1),
+           "loss": round(final_loss, 4)}
+    if args.cost_analysis:
+        try:
+            ca = step_fn.lower(state, batch, rng).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            rec["step_flops"] = float(ca.get("flops", float("nan")))
+        except Exception as e:  # noqa: BLE001
+            rec["step_flops_error"] = str(e)[:100]
+    emit(rec)
+    log(f"{dt * 1e3:.1f} ms/step = {img_s:.1f} img/s")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="res256_mask75", choices=sorted(STAGES))
+    p.add_argument("--remat", default="full", choices=["full", "dots", "none"])
+    p.add_argument("--mb", type=int, default=64)
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--cost-analysis", action="store_true")
+    p.add_argument("--fwd-flops", action="store_true")
+    p.add_argument("--breakdown", action="store_true")
+    p.add_argument("--inner", type=int, default=0,
+                   help="time K chained steps inside one jit (device-only time)")
+    args = p.parse_args()
+    if args.fwd_flops:
+        measure_fwd_flops(args.stage)
+        return
+    try:
+        if args.breakdown:
+            run_breakdown(args)
+        elif args.inner:
+            run_inner(args)
+        else:
+            run(args)
+    except Exception as e:  # noqa: BLE001
+        emit({"kind": "error", "stage": args.stage, "remat": args.remat,
+              "mb": args.mb, "accum": args.accum, "nu": args.nu,
+              "error": str(e)[:200]})
+        raise
+
+
+if __name__ == "__main__":
+    main()
