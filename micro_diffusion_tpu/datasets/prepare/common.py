@@ -7,11 +7,12 @@ here the shared machinery lives once and per-dataset deltas are data (specs.py).
 
 import io
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from multiprocessing import Pool
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ..mds import MDSReader
+from ..mds import MDSReader, merge_index
 
 
 def to_rgb(img):
@@ -52,6 +53,34 @@ def downsize_image(img, max_min_side: int = 512):
 
 def image_passes_filter(width: int, height: int, min_side: int = 256) -> bool:
     return min(width, height) >= min_side
+
+
+def parallel_mds_write(
+    worker: Callable[[list, str], int],
+    work_items: list,
+    out_dir: str,
+    num_proc: int = 1,
+) -> int:
+    """Split ``work_items`` across ``num_proc`` processes, each writing its own MDS
+    subdirectory ``out_dir/<i>``, then merge the per-process indexes into one root
+    index.json - the reference's per-process MDSWriter + merge_index pattern
+    (diffdb/convert.py, cc12m/convert.py, sa1b/convert.py).
+
+    ``worker(items, subdir) -> n_written`` must be picklable (module-level).
+    Returns the total number of samples written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    k = max(1, num_proc)
+    bounds = np.linspace(0, len(work_items), k + 1).astype(int)
+    chunks = [list(work_items[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    subdirs = [os.path.join(out_dir, str(i)) for i in range(len(chunks))]
+    if num_proc <= 1:
+        counts = [worker(c, d) for c, d in zip(chunks, subdirs)]
+    else:
+        with Pool(num_proc) as pool:
+            counts = pool.starmap(worker, list(zip(chunks, subdirs)))
+    merge_index(out_dir)
+    return int(sum(counts))
 
 
 class PrecomputeImageDataset:

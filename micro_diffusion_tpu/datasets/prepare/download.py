@@ -64,9 +64,12 @@ def fetch_archive(spec, idx: int, datadir: str) -> Optional[str]:
 def extract_and_filter(
     archive_path: str, out_dir: str, min_side: int = 256,
     downsize_to: int = 512, skip_existing: bool = False,
+    keep_non_images: bool = False,
 ) -> int:
     """Extract an archive, drop small images, downsize large ones (shared with the
-    reference's per-archive worker, jdb/download.py:109-172)."""
+    reference's per-archive worker, jdb/download.py:109-172). With
+    ``keep_non_images``, non-image members (caption jsonl/json/parquet metadata) are
+    extracted verbatim alongside."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
@@ -77,6 +80,13 @@ def extract_and_filter(
         names = arc.getnames() if hasattr(arc, "getnames") else arc.namelist()
         for name in names:
             if not name.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                if keep_non_images and os.path.basename(name):
+                    fobj = (arc.extractfile(name) if hasattr(arc, "extractfile")
+                            else arc.open(name))
+                    if fobj is not None:
+                        with open(os.path.join(out_dir, os.path.basename(name)),
+                                  "wb") as dst:
+                            dst.write(fobj.read())
                 continue
             dest = os.path.join(out_dir, os.path.basename(name))
             if skip_existing and os.path.exists(dest):
