@@ -102,16 +102,87 @@ def compute_fid_from_stats(real: FIDStats, fake: FIDStats) -> float:
 
 def load_inception_feature_fn(weights_path: str) -> Callable:
     """InceptionV3 pool3 feature extractor from local torch weights (the canonical FID
-    feature space). Runs the torch-cpu InceptionV3 port on host - FID evaluation is
-    offline and not throughput-critical.
+    feature space, pt_inception-2015-12-05). The graph is the TPU-native JAX port in
+    eval/inception.py (torch-oracle-validated); runs jit'd on the default backend.
 
-    ``weights_path``: local pt_inception weights file (pt_inception-2015-12-05).
+    Returns feature_fn(images (B,3,H,W) float [0,1]) -> (B, 2048) numpy.
     """
-    import torch
+    from .inception import load_params, make_feature_fn
 
-    state = torch.load(weights_path, map_location="cpu", weights_only=True)
-    raise NotImplementedError(
-        "InceptionV3 graph construction requires torchvision (not in this image). "
-        "Provide features via any local extractor and feed FIDStats directly; the "
-        "Frechet math above is extractor-agnostic."
+    return make_feature_fn(load_params(weights_path))
+
+
+def iter_image_dir_batches(
+    image_dir: str, batch_size: int = 32, limit: Optional[int] = None
+):
+    """Yield (B, 3, H, W) float32 [0,1] batches from a directory of images (the
+    output of eval/generate_eval_images.py, or a real-image reference set). Images
+    are center-cropped to square so batches stack; FID resizing to 299 happens
+    inside the feature fn."""
+    import os
+
+    from PIL import Image
+
+    names = sorted(
+        f for f in os.listdir(image_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
     )
+    if limit:
+        names = names[:limit]
+    buf = []
+    for name in names:
+        img = Image.open(os.path.join(image_dir, name))
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        w, h = img.size
+        s = min(w, h)
+        img = img.crop(((w - s) // 2, (h - s) // 2,
+                        (w - s) // 2 + s, (h - s) // 2 + s))
+        if s != 299:
+            img = img.resize((299, 299), Image.BILINEAR)
+        buf.append(np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
+        if len(buf) == batch_size:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        yield np.stack(buf)
+
+
+def main(argv=None):
+    """FID between two image directories (or a dir and precomputed .npz stats):
+
+    python -m micro_diffusion_tpu.eval.fid --real <dir|stats.npz> --fake <dir> \
+        --inception_weights pt_inception-2015-12-05.pth [--save_real_stats out.npz]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--real", required=True, help="image dir or FIDStats .npz")
+    p.add_argument("--fake", required=True, help="image dir or FIDStats .npz")
+    p.add_argument("--inception_weights", required=True)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None, help="cap image count (30k)")
+    p.add_argument("--save_real_stats", default=None,
+                   help="save the real-side stats for reuse across runs")
+    args = p.parse_args(argv)
+
+    feature_fn = load_inception_feature_fn(args.inception_weights)
+
+    def stats_for(path: str) -> FIDStats:
+        if path.endswith(".npz"):
+            return FIDStats.load(path)
+        return FIDStats.from_batches(
+            feature_fn, iter_image_dir_batches(path, args.batch_size, args.limit)
+        )
+
+    real = stats_for(args.real)
+    if args.save_real_stats:
+        real.save(args.save_real_stats)
+    fake = stats_for(args.fake)
+    fid = compute_fid_from_stats(real, fake)
+    print(f"FID: {fid:.4f} (real n={real.n}, fake n={fake.n})")
+    return fid
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,6 @@ def main(argv=None):
 
     from ..models.diffusion import create_latent_diffusion
     from ..models.interop import load_any_checkpoint
-    from ..models.text_encoders import UniversalTokenizer
 
     model = create_latent_diffusion(
         vae_name=args.vae,
@@ -88,9 +87,8 @@ def main(argv=None):
         pos_interp_scale=args.pos_interp_scale,
         load_encoders=True,
         weights_dir=args.vae_weights_dir,
-    )
-    model.tokenizer = UniversalTokenizer(
-        args.text_encoder, tokenizer_dir=args.tokenizer_dir
+        text_encoder_weights_dir=args.text_encoder_weights_dir,
+        tokenizer_dir=args.tokenizer_dir,
     )
     params = load_any_checkpoint(args.checkpoint)
 

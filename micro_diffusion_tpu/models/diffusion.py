@@ -418,13 +418,18 @@ def create_latent_diffusion(
     train_mask_ratio: float = 0.0,
     load_encoders: bool = False,
     weights_dir: Optional[str] = None,
+    text_encoder_weights_dir: Optional[str] = None,
+    tokenizer_dir: Optional[str] = None,
 ) -> LatentDiffusion:
     """Model factory with the reference signature (model.py:356-405).
 
     ``load_encoders=False`` (default) builds the DiT-only model for latent-space training
     (precomputed latents, the micro-budget regime); pass True with ``weights_dir``
     pointing at local HF snapshots to attach the frozen VAE / text encoder for
-    ``generate()`` and precompute.
+    ``generate()`` and precompute. The VAE and text encoder are different HF repos, so
+    their snapshot dirs are separate: ``weights_dir`` holds the VAE,
+    ``text_encoder_weights_dir`` / ``tokenizer_dir`` hold the encoder/tokenizer
+    (each defaulting to ``weights_dir`` for single-snapshot layouts).
     """
     s, d = text_encoder_embedding_format(text_encoder_name)
 
@@ -446,9 +451,12 @@ def create_latent_diffusion(
         from .text_encoders import UniversalTextEncoder, UniversalTokenizer
 
         text_encoder = UniversalTextEncoder(
-            text_encoder_name, dtype=dtype, weights_dir=weights_dir
+            text_encoder_name, dtype=dtype,
+            weights_dir=text_encoder_weights_dir or weights_dir,
         )
-        tokenizer = UniversalTokenizer(text_encoder_name)
+        tokenizer = UniversalTokenizer(
+            text_encoder_name, tokenizer_dir=tokenizer_dir
+        )
 
     return LatentDiffusion(
         dit=dit,

@@ -72,6 +72,75 @@ def test_generate_images_driver(tmp_path):
     assert manifest[0]["caption"] == "a"
 
 
+def test_fid_cli_end_to_end(tmp_path):
+    """generate images -> pt_inception weights on disk -> one-CLI FID number
+    (VERDICT.md next-round #4 done-criterion)."""
+    import torch
+    from PIL import Image
+
+    from micro_diffusion_tpu.eval import fid
+    from micro_diffusion_tpu.eval.inception import parameter_shapes, synthetic_params
+
+    # synthetic pt_inception checkpoint on disk
+    weights = tmp_path / "pt_inception.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in synthetic_params(0).items()},
+               weights)
+
+    rng = np.random.default_rng(0)
+
+    def write_images(dirname, n, offset):
+        dirname.mkdir()
+        for i in range(n):
+            arr = (rng.random((64, 64, 3)) * 127 + offset).astype(np.uint8)
+            Image.fromarray(arr).save(dirname / f"{i:03d}.png")
+
+    write_images(tmp_path / "real", 8, 0)
+    write_images(tmp_path / "fake_close", 8, 0)
+    write_images(tmp_path / "fake_far", 8, 120)
+
+    fid_close = fid.main([
+        "--real", str(tmp_path / "real"), "--fake", str(tmp_path / "fake_close"),
+        "--inception_weights", str(weights), "--batch_size", "4",
+        "--save_real_stats", str(tmp_path / "real_stats.npz"),
+    ])
+    fid_far = fid.main([
+        "--real", str(tmp_path / "real_stats.npz"),  # stats reuse path
+        "--fake", str(tmp_path / "fake_far"),
+        "--inception_weights", str(weights), "--batch_size", "4",
+    ])
+    assert np.isfinite(fid_close) and np.isfinite(fid_far)
+    assert fid_close < fid_far  # brightness-shifted set is farther
+
+
+def test_create_latent_diffusion_separate_encoder_dirs(monkeypatch):
+    """Regression (VERDICT.md weak #4): the text encoder/tokenizer must load from
+    their own snapshot dirs, not the VAE's."""
+    import micro_diffusion_tpu.models.text_encoders as te
+    import micro_diffusion_tpu.models.vae as vae_mod
+    from micro_diffusion_tpu.models.diffusion import create_latent_diffusion
+
+    seen = {}
+    monkeypatch.setattr(
+        vae_mod.AutoencoderKL, "from_pretrained",
+        classmethod(lambda cls, name, weights_dir=None, **kw:
+                    seen.setdefault("vae", weights_dir)),
+    )
+    monkeypatch.setattr(
+        te, "UniversalTextEncoder",
+        lambda name, dtype=None, weights_dir=None: seen.setdefault("te", weights_dir),
+    )
+    monkeypatch.setattr(
+        te, "UniversalTokenizer",
+        lambda name, tokenizer_dir=None: seen.setdefault("tok", tokenizer_dir),
+    )
+    create_latent_diffusion(
+        dit_arch="MicroDiT_Micro_2", latent_res=16, load_encoders=True,
+        weights_dir="/vae_dir", text_encoder_weights_dir="/te_dir",
+        tokenizer_dir="/tok_dir",
+    )
+    assert seen == {"vae": "/vae_dir", "te": "/te_dir", "tok": "/tok_dir"}
+
+
 def test_geneval_prompts_and_scores():
     from micro_diffusion_tpu.eval.geneval import (
         CATEGORIES,
