@@ -445,13 +445,36 @@ class UniversalTokenizer:
                 "tokenizer_dir with an HF tokenizer snapshot (zero-egress environment)"
             )
         if self.name == "DeepFloyd/t5-v1_1-xxl":
-            from transformers import T5Tokenizer
-
-            self._tok = T5Tokenizer.from_pretrained(self._tokenizer_dir)
+            self._tok = self._load_t5_tokenizer(self._tokenizer_dir)
         else:
             from transformers import CLIPTokenizer
 
             self._tok = CLIPTokenizer.from_pretrained(self._tokenizer_dir)
+
+    @staticmethod
+    def _load_t5_tokenizer(tokenizer_dir: str):
+        """T5 tokenizer fallback chain (this image has no ``sentencepiece``):
+        1. T5TokenizerFast - works when the snapshot ships tokenizer.json
+           (rust ``tokenizers`` is installed);
+        2. first-party unigram reader over spiece.model (utils/spm.py)."""
+        import os
+
+        if os.path.exists(os.path.join(tokenizer_dir, "tokenizer.json")):
+            try:
+                from transformers import T5TokenizerFast
+
+                return T5TokenizerFast.from_pretrained(tokenizer_dir)
+            except Exception:
+                pass
+        spiece = os.path.join(tokenizer_dir, "spiece.model")
+        if os.path.exists(spiece):
+            from ..utils.spm import T5SpmTokenizer
+
+            return T5SpmTokenizer(spiece)
+        raise FileNotFoundError(
+            f"no T5 tokenizer assets in {tokenizer_dir}: need tokenizer.json "
+            "(fast path) or spiece.model (first-party unigram reader)"
+        )
 
     def tokenize(self, captions) -> Dict[str, np.ndarray]:
         self._ensure()

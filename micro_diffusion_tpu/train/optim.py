@@ -204,12 +204,21 @@ def build_optimizer(
 
 
 def ema_update(
-    ema_params: Any, params: Any, step: jax.Array, smoothing: float, ema_start: int
+    ema_params: Any,
+    params: Any,
+    step: jax.Array,
+    smoothing: float,
+    ema_start: int,
+    update_interval: int = 1,
 ) -> Any:
     """EMA with start gating: mirror params before ema_start, decay after
     (reference recipe: smoothing 0.99975 from 25000ba at stage 3, 0.9975 from 1000ba at
-    stage 4 - configs/res_512_pretrain.yaml:4-9)."""
+    stage 4 - configs/res_512_pretrain.yaml:4-9). ``update_interval`` k applies the
+    decay only every k-th step after ema_start (the reference EMA's update_interval;
+    before ema_start the mirror runs every step)."""
     decay = jnp.where(step >= ema_start, smoothing, 0.0)
+    do = jnp.logical_or(step < ema_start, step % max(1, update_interval) == 0)
     return jax.tree.map(
-        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
+        lambda e, p: jnp.where(do, decay * e + (1.0 - decay) * p, e),
+        ema_params, params,
     )

@@ -58,6 +58,7 @@ def make_train_step(
     microbatch_size: Optional[int] = None,
     ema_smoothing: Optional[float] = None,
     ema_start: int = 0,
+    ema_update_interval: int = 1,
 ) -> Callable:
     """Build the train step fn(state, batch, base_rng) -> (state, metrics).
 
@@ -102,7 +103,8 @@ def make_train_step(
         new_ema = state.ema_params
         if state.ema_params is not None and ema_smoothing is not None:
             new_ema = ema_update(
-                state.ema_params, new_params, state.step, ema_smoothing, ema_start
+                state.ema_params, new_params, state.step, ema_smoothing, ema_start,
+                ema_update_interval,
             )
 
         metrics = {

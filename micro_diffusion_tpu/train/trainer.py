@@ -103,6 +103,9 @@ class Trainer:
             self.ema_cfg = {
                 "smoothing": float(ema.get("smoothing", 0.9999)),
                 "ema_start": parse_duration(ema.get("ema_start", 0)),
+                "update_interval": max(
+                    1, parse_duration(ema.get("update_interval", 1))
+                ),
             }
 
         # ---------------- mesh + model state
@@ -154,6 +157,9 @@ class Trainer:
                 microbatch_size=self.microbatch_size,
                 ema_smoothing=self.ema_cfg["smoothing"] if self.ema_cfg else None,
                 ema_start=self.ema_cfg["ema_start"] if self.ema_cfg else 0,
+                ema_update_interval=(
+                    self.ema_cfg["update_interval"] if self.ema_cfg else 1
+                ),
             ),
             in_shardings=(self._state_sh, self._b_sh, None),
             out_shardings=(self._state_sh, None),

@@ -117,6 +117,33 @@ def test_loader_basic(tmp_path):
     assert b["drop_caption_mask"].shape == (8,)
 
 
+def test_loader_block_shuffle_locality(tmp_path):
+    """shuffle_algo='block' (VERDICT.md weak #6): a full permutation whose reads stay
+    inside contiguous blocks (shard-locality, mosaicml-streaming semantics), still
+    deterministic per (seed, epoch)."""
+    write_latents_dataset(tmp_path / "a", n=64)
+    dl = build_streaming_latents_dataloader(
+        str(tmp_path / "a"), batch_size=8, image_size=256, cap_seq_size=8,
+        cap_emb_dim=16, num_epochs=1, shuffle_algo="block", shuffle_block_size=16,
+    )
+    order = dl._epoch_order(epoch=0)
+    # a real permutation of the dataset
+    assert sorted(order.tolist()) == list(range(64))
+    # every aligned 16-sample segment of the order covers exactly one block range
+    for seg in range(4):
+        vals = order[seg * 16 : (seg + 1) * 16]
+        assert vals.max() - vals.min() < 16, (seg, vals)
+        assert vals.min() % 16 == 0
+    # deterministic per (seed, epoch), different across epochs
+    np.testing.assert_array_equal(order, dl._epoch_order(epoch=0))
+    assert not np.array_equal(order, dl._epoch_order(epoch=1))
+    # and the loader still yields all samples exactly once
+    seen = []
+    for b in dl:
+        seen.append(b["image_latents"])
+    assert sum(x.shape[0] for x in seen) == 64
+
+
 def test_loader_512_path(tmp_path):
     write_latents_dataset(tmp_path / "a", n=8)
     dl = build_streaming_latents_dataloader(

@@ -104,6 +104,25 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(e["w"]), 0.9 * 1.0 + 0.1 * 2.0, rtol=1e-6)
 
 
+def test_ema_update_interval():
+    """Reference recipes set ema update_interval (res_512_pretrain.yaml:4-9); after
+    ema_start the decay applies only on interval steps (VERDICT.md weak #7)."""
+    p0 = {"w": jnp.ones(2)}
+    p1 = {"w": jnp.full((2,), 2.0)}
+    # post-start, off-interval step: EMA unchanged
+    e = ema_update(p0, p1, jnp.asarray(13), smoothing=0.9, ema_start=10,
+                   update_interval=4)
+    np.testing.assert_allclose(np.asarray(e["w"]), 1.0)
+    # post-start, on-interval step: decay applied
+    e = ema_update(p0, p1, jnp.asarray(16), smoothing=0.9, ema_start=10,
+                   update_interval=4)
+    np.testing.assert_allclose(np.asarray(e["w"]), 1.1, rtol=1e-6)
+    # pre-start: mirror regardless of interval
+    e = ema_update(p0, p1, jnp.asarray(5), smoothing=0.9, ema_start=10,
+                   update_interval=4)
+    np.testing.assert_allclose(np.asarray(e["w"]), 2.0)
+
+
 def test_train_step_single_device():
     model = micro_model()
     params = model.init(jax.random.PRNGKey(0))
