@@ -17,7 +17,7 @@ format is what aggregate_scores consumes.
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 CATEGORIES = (
     "single_object",
@@ -88,6 +88,159 @@ def build_prompt_manifest(
     return manifest
 
 
+def bbox_center(bbox: Sequence[float]) -> tuple:
+    x0, y0, x1, y1 = bbox
+    return ((x0 + x1) / 2.0, (y0 + y1) / 2.0)
+
+
+def check_position(bbox_a, bbox_b, relation: str) -> bool:
+    """Relative-position rule (upstream geneval evaluation semantics): the center
+    displacement along the specified axis must point the right way AND dominate the
+    orthogonal component ('left of' = a clearly left of b, not merely diagonal)."""
+    (ax, ay), (bx, by) = bbox_center(bbox_a), bbox_center(bbox_b)
+    dx, dy = ax - bx, ay - by
+    if relation == "left of":
+        return dx < 0 and abs(dx) > abs(dy)
+    if relation == "right of":
+        return dx > 0 and abs(dx) > abs(dy)
+    if relation == "above":  # image y grows downward
+        return dy < 0 and abs(dy) > abs(dx)
+    if relation == "below":
+        return dy > 0 and abs(dy) > abs(dx)
+    raise ValueError(f"unknown relation {relation}")
+
+
+def hue_color_classifier(image_rgb, bbox) -> str:
+    """Offline color classifier: dominant-hue vote over the detection crop (the
+    upstream pipeline uses CLIP zero-shot on the crop; this is the dependency-free
+    fallback - swap in a CLIP color_fn for paper-parity numbers)."""
+    import numpy as np
+
+    img = np.asarray(image_rgb, np.float32)
+    x0, y0, x1, y1 = (int(round(v)) for v in bbox)
+    crop = img[max(0, y0):max(0, y1), max(0, x0):max(0, x1)] / 255.0
+    if crop.size == 0:
+        return "unknown"
+    r, g, b = crop[..., 0], crop[..., 1], crop[..., 2]
+    mx, mn = crop.max(-1), crop.min(-1)
+    v, delta = mx, mx - mn
+    s = np.where(mx > 0, delta / np.maximum(mx, 1e-6), 0.0)
+    h = np.zeros_like(mx)
+    m = delta > 1e-6
+    rm = m & (mx == r)
+    gm = m & (mx == g) & ~rm
+    bm = m & ~rm & ~gm
+    h[rm] = (60 * ((g - b) / np.maximum(delta, 1e-6)) % 360)[rm]
+    h[gm] = (60 * ((b - r) / np.maximum(delta, 1e-6)) + 120)[gm]
+    h[bm] = (60 * ((r - g) / np.maximum(delta, 1e-6)) + 240)[bm]
+
+    names = []
+    flat = zip(h.reshape(-1), s.reshape(-1), v.reshape(-1))
+    for hh, ss, vv in flat:
+        if vv < 0.15:
+            names.append("black")
+        elif ss < 0.18:
+            names.append("white" if vv > 0.75 else "black")
+        elif hh < 15 or hh >= 345:
+            names.append("red")
+        elif hh < 40:
+            names.append("brown" if vv < 0.6 else "orange")
+        elif hh < 70:
+            names.append("yellow")
+        elif hh < 165:
+            names.append("green")
+        elif hh < 260:
+            names.append("blue")
+        elif hh < 300:
+            names.append("purple")
+        else:
+            names.append("pink")
+    from collections import Counter
+
+    return Counter(names).most_common(1)[0][0]
+
+
+def evaluate_detections(
+    entry: Dict,
+    detections: Sequence[Dict],
+    image=None,
+    color_fn=hue_color_classifier,
+    conf_threshold: float = 0.3,
+) -> bool:
+    """Judge one generated image against its manifest ``include`` spec.
+
+    ``detections``: [{'class': str, 'bbox': [x0,y0,x1,y1], 'score': float,
+    'color': optional str}] - the output of any object detector (upstream geneval
+    runs mmdet Mask2Former; its JSON converts directly to this shape).
+
+    Rules (upstream geneval evaluation):
+      * detections below conf_threshold are ignored;
+      * 'count' is exact for the counting category, a minimum otherwise;
+      * 'color' must match (from the detection record, else color_fn on the crop);
+      * 'position' (rel, other_class) must hold vs some detection of other_class.
+    """
+    dets = [d for d in detections if d.get("score", 1.0) >= conf_threshold]
+    by_class: Dict[str, List[Dict]] = defaultdict(list)
+    for d in dets:
+        by_class[d["class"]].append(d)
+
+    exact = entry.get("tag") == "counting"
+    for req in entry["include"]:
+        matches = by_class.get(req["class"], [])
+        want = int(req.get("count", 1))
+        if exact:
+            if len(matches) != want:
+                return False
+        elif len(matches) < want:
+            return False
+
+        if "color" in req:
+            def det_color(d):
+                if "color" in d:
+                    return d["color"]
+                if image is None or color_fn is None:
+                    return None
+                return color_fn(image, d["bbox"])
+
+            if not any(det_color(d) == req["color"] for d in matches):
+                return False
+
+        if "position" in req:
+            rel, other = req["position"]
+            others = by_class.get(other, [])
+            ok = any(
+                check_position(a["bbox"], b["bbox"], rel)
+                for a in matches
+                for b in others
+            )
+            if not ok:
+                return False
+    return True
+
+
+def score_generated_images(
+    manifest: Sequence[Dict],
+    detections_per_image: Sequence[Sequence[Dict]],
+    images: Optional[Sequence] = None,
+    color_fn=hue_color_classifier,
+    conf_threshold: float = 0.3,
+) -> Dict[str, float]:
+    """Full detection->score bridge: judge every (manifest entry, detections) pair
+    and aggregate to the GenEval table. ``detections_per_image[i]`` belongs to
+    ``manifest[i]``'s generated image."""
+    results = []
+    for i, entry in enumerate(manifest):
+        correct = evaluate_detections(
+            entry,
+            detections_per_image[i],
+            image=images[i] if images is not None else None,
+            color_fn=color_fn,
+            conf_threshold=conf_threshold,
+        )
+        results.append({"tag": entry["tag"], "correct": correct})
+    return aggregate_scores(results)
+
+
 def aggregate_scores(results: Sequence[Dict]) -> Dict[str, float]:
     """Aggregate per-image detection results into the GenEval score table.
 
@@ -113,8 +266,18 @@ def main(argv=None):
                     help="json list of object class names (e.g. COCO classes)")
     gp.add_argument("--out", required=True)
     gp.add_argument("--per_category", type=int, default=100)
-    ap = sub.add_parser("score", help="aggregate detection results")
+    ap = sub.add_parser("score", help="aggregate {tag, correct} results")
     ap.add_argument("--results", required=True)
+    dp = sub.add_parser(
+        "evaluate", help="judge raw detections against a prompt manifest"
+    )
+    dp.add_argument("--manifest", required=True,
+                    help="prompt manifest json (from the prompts command)")
+    dp.add_argument("--detections", required=True,
+                    help="json: list (one per manifest entry) of detection lists "
+                         "[{class,bbox,score[,color]}] from any detector "
+                         "(upstream geneval uses mmdet Mask2Former)")
+    dp.add_argument("--conf_threshold", type=float, default=0.3)
     args = p.parse_args(argv)
 
     if args.cmd == "prompts":
@@ -122,6 +285,14 @@ def main(argv=None):
         manifest = build_prompt_manifest(objects, per_category=args.per_category)
         json.dump(manifest, open(args.out, "w"))
         print(f"wrote {len(manifest)} prompts -> {args.out}")
+    elif args.cmd == "evaluate":
+        manifest = json.load(open(args.manifest))
+        detections = json.load(open(args.detections))
+        assert len(manifest) == len(detections), (len(manifest), len(detections))
+        scores = score_generated_images(
+            manifest, detections, conf_threshold=args.conf_threshold
+        )
+        print(json.dumps(scores, indent=2))
     else:
         results = json.load(open(args.results))
         print(json.dumps(aggregate_scores(results), indent=2))

@@ -141,6 +141,80 @@ def test_create_latent_diffusion_separate_encoder_dirs(monkeypatch):
     assert seen == {"vae": "/vae_dir", "te": "/te_dir", "tok": "/tok_dir"}
 
 
+def test_geneval_detection_evaluation():
+    """The detection->verdict bridge (GenEval's scoring core)."""
+    from micro_diffusion_tpu.eval.geneval import (
+        check_position,
+        evaluate_detections,
+        score_generated_images,
+    )
+
+    det = lambda cls, bbox, score=0.9, **kw: {
+        "class": cls, "bbox": bbox, "score": score, **kw
+    }
+
+    # presence: count is a minimum outside 'counting'
+    entry = {"tag": "single_object", "include": [{"class": "dog", "count": 1}]}
+    assert evaluate_detections(entry, [det("dog", [0, 0, 10, 10])])
+    assert evaluate_detections(
+        entry, [det("dog", [0, 0, 10, 10]), det("dog", [20, 0, 30, 10])]
+    )
+    assert not evaluate_detections(entry, [det("cat", [0, 0, 10, 10])])
+    # low-confidence detections are ignored
+    assert not evaluate_detections(entry, [det("dog", [0, 0, 10, 10], score=0.1)])
+
+    # counting: exact
+    entry = {"tag": "counting", "include": [{"class": "dog", "count": 2}]}
+    two = [det("dog", [0, 0, 10, 10]), det("dog", [20, 0, 30, 10])]
+    assert evaluate_detections(entry, two)
+    assert not evaluate_detections(entry, two + [det("dog", [40, 0, 50, 10])])
+
+    # colors: from the detection record
+    entry = {"tag": "colors", "include": [{"class": "car", "count": 1,
+                                           "color": "red"}]}
+    assert evaluate_detections(entry, [det("car", [0, 0, 10, 10], color="red")])
+    assert not evaluate_detections(entry, [det("car", [0, 0, 10, 10],
+                                               color="blue")])
+
+    # position: direction must dominate
+    assert check_position([0, 0, 10, 10], [50, 0, 60, 10], "left of")
+    assert not check_position([50, 0, 60, 10], [0, 0, 10, 10], "left of")
+    assert check_position([0, 0, 10, 10], [0, 50, 10, 60], "above")
+    assert not check_position([0, 0, 10, 10], [8, 50, 18, 60], "right of")
+    entry = {"tag": "position", "include": [
+        {"class": "dog", "count": 1, "position": ("left of", "cat")},
+        {"class": "cat", "count": 1},
+    ]}
+    assert evaluate_detections(
+        entry, [det("dog", [0, 0, 10, 10]), det("cat", [50, 0, 60, 10])]
+    )
+    assert not evaluate_detections(
+        entry, [det("dog", [50, 0, 60, 10]), det("cat", [0, 0, 10, 10])]
+    )
+
+    # end-to-end scoring over a manifest
+    manifest = [
+        {"tag": "single_object", "include": [{"class": "dog", "count": 1}]},
+        {"tag": "single_object", "include": [{"class": "cat", "count": 1}]},
+    ]
+    dets = [[det("dog", [0, 0, 10, 10])], [det("dog", [0, 0, 10, 10])]]
+    scores = score_generated_images(manifest, dets)
+    assert scores["single_object"] == 0.5
+
+
+def test_geneval_hue_color_classifier():
+    from micro_diffusion_tpu.eval.geneval import hue_color_classifier
+
+    red = np.zeros((20, 20, 3), np.uint8)
+    red[5:15, 5:15] = (220, 30, 30)
+    assert hue_color_classifier(red, [5, 5, 15, 15]) == "red"
+    green = np.zeros((20, 20, 3), np.uint8)
+    green[:, :] = (20, 200, 40)
+    assert hue_color_classifier(green, [0, 0, 20, 20]) == "green"
+    white = np.full((20, 20, 3), 245, np.uint8)
+    assert hue_color_classifier(white, [0, 0, 20, 20]) == "white"
+
+
 def test_geneval_prompts_and_scores():
     from micro_diffusion_tpu.eval.geneval import (
         CATEGORIES,
