@@ -420,6 +420,8 @@ def create_latent_diffusion(
     weights_dir: Optional[str] = None,
     text_encoder_weights_dir: Optional[str] = None,
     tokenizer_dir: Optional[str] = None,
+    remat: bool = False,
+    remat_policy: str = "full",
 ) -> LatentDiffusion:
     """Model factory with the reference signature (model.py:356-405).
 
@@ -441,6 +443,11 @@ def create_latent_diffusion(
         dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
             dtype
         ],
+        # TPU memory/throughput knobs (no reference equivalent - H100s have 80GB):
+        # per-block rematerialization and its policy ('full' | 'dots'), reachable
+        # from the yaml recipes' model block.
+        remat=remat,
+        remat_policy=remat_policy,
     )
 
     vae = text_encoder = tokenizer = None

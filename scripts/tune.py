@@ -165,6 +165,71 @@ def run_inner(args):
     log(f"{dt * 1e3:.1f} ms/device-step = {args.mb / dt:.1f} img/s")
 
 
+def run_profile(args):
+    """jax.profiler trace of the train step; parse the xplane and print the top ops
+    by device time (tensorboard_plugin_profile/tensorflow are in the image)."""
+    import glob
+
+    res, mask = STAGES[args.stage]
+    model, params, rng = build(args.stage, args.remat, args.mb)
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    tx = build_optimizer(params, sched, clip_norm=0.25,
+                         low_precision_moments=(args.nu == "bf16"),
+                         mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None)
+    state = create_train_state(params, tx)
+    del params
+    step_fn = jax.jit(make_train_step(model, tx, sched, microbatch_size=None),
+                      donate_argnums=(0,))
+    batch = make_batch(args.mb, res)
+    state, metrics = step_fn(state, batch, rng)
+    float(metrics["loss"])  # compile + warm
+
+    trace_dir = os.path.join(os.path.dirname(__file__), "..", "profile_trace",
+                             f"{args.stage}_{args.remat}_{args.mb}")
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+
+    planes = summarize_xplane(trace_dir)
+    emit({"kind": "profile", "stage": args.stage, "remat": args.remat,
+          "mb": args.mb, "planes": planes})
+
+
+def summarize_xplane(trace_dir):
+    """Aggregate device-plane op durations from the newest .xplane.pb under dir."""
+    import glob
+
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not paths:
+        return {"error": "no xplane.pb written"}
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    out = {}
+    for plane in xspace.planes:
+        total_by_name = {}
+        meta = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(
+            plane.event_metadata, "values") else {
+            k: v.name for k, v in plane.event_metadata.items()}
+        n_events = 0
+        for line in plane.lines:
+            for ev in line.events:
+                n_events += 1
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                total_by_name[name] = total_by_name.get(name, 0) + ev.duration_ps
+        top = sorted(total_by_name.items(), key=lambda kv: -kv[1])[:25]
+        out[plane.name] = {
+            "events": n_events,
+            "top_ops_ms": [(n, round(ps / 1e9, 3)) for n, ps in top],
+        }
+    return out
+
+
 def run(args):
     res, mask = STAGES[args.stage]
     model, params, rng = build(args.stage, args.remat, args.mb)
@@ -229,6 +294,8 @@ def main():
     p.add_argument("--cost-analysis", action="store_true")
     p.add_argument("--fwd-flops", action="store_true")
     p.add_argument("--breakdown", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="jax.profiler trace + xplane op summary")
     p.add_argument("--inner", type=int, default=0,
                    help="time K chained steps inside one jit (device-only time)")
     args = p.parse_args()
@@ -236,7 +303,9 @@ def main():
         measure_fwd_flops(args.stage)
         return
     try:
-        if args.breakdown:
+        if args.profile:
+            run_profile(args)
+        elif args.breakdown:
             run_breakdown(args)
         elif args.inner:
             run_inner(args)
