@@ -1,5 +1,7 @@
 from .optim import build_optimizer, build_schedule, ema_update
-from .train_step import TrainState, create_train_state, make_train_step, make_eval_step
+from .train_step import (TrainState, create_train_state, make_train_step,
+                         make_eval_step, make_grad_step, make_apply_step,
+                         zero_grad_accumulator)
 
 __all__ = [
     "build_optimizer",
@@ -9,4 +11,7 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "make_grad_step",
+    "make_apply_step",
+    "zero_grad_accumulator",
 ]

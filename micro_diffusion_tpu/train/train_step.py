@@ -125,6 +125,77 @@ def make_train_step(
     return train_step
 
 
+def make_grad_step(model: Any) -> Callable:
+    """Split-dispatch gradient accumulation, part 1: one microbatch's grads added
+    into an fp32 accumulator (donate the accumulator for in-place update).
+
+    Semantically identical to the lax.scan accumulation in make_train_step, but each
+    dispatch compiles a much smaller graph - the robust path on toolchains that
+    struggle with the scanned whole-step program, and the natural shape when
+    microbatches stream from the host."""
+
+    def loss_fn(params, rng, microbatch):
+        loss, _, _ = model.forward(params, rng, microbatch, train=True)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def grad_step(params, acc, microbatch, rng, idx):
+        loss, grads = grad_fn(params, jax.random.fold_in(rng, idx), microbatch)
+        acc_loss, acc_grads = acc
+        return (
+            acc_loss + loss,
+            jax.tree.map(lambda a, g: a + g.astype(jnp.float32), acc_grads, grads),
+        )
+
+    return grad_step
+
+
+def make_apply_step(
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    ema_smoothing: Optional[float] = None,
+    ema_start: int = 0,
+    ema_update_interval: int = 1,
+) -> Callable:
+    """Split-dispatch part 2: consume the accumulated (loss_sum, grad_sum) over
+    n microbatches and apply the optimizer + EMA, producing the next TrainState."""
+    from .optim import ema_update
+
+    def apply_step(state: TrainState, acc, n: int):
+        loss_sum, grad_sum = acc
+        loss = loss_sum / n
+        grads = jax.tree.map(lambda g: g / n, grad_sum)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_smoothing is not None:
+            new_ema = ema_update(
+                state.ema_params, new_params, state.step, ema_smoothing, ema_start,
+                ema_update_interval,
+            )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "lr": lr_schedule(state.step),
+        }
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       opt_state=new_opt_state, ema_params=new_ema),
+            metrics,
+        )
+
+    return apply_step
+
+
+def zero_grad_accumulator(params: Any):
+    """Fresh (loss_sum, grad_sum) accumulator for make_grad_step."""
+    return (
+        jnp.zeros((), jnp.float32),
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+    )
+
+
 def make_eval_step(model: Any) -> Callable:
     """Eval loss on a batch, mask_ratio = eval_mask_ratio (0) - reference model.py:217-222."""
 

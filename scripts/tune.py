@@ -31,7 +31,14 @@ import jax.numpy as jnp
 import bench  # configures the persistent compilation cache at import
 from micro_diffusion_tpu.models.diffusion import LatentDiffusion
 from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
-from micro_diffusion_tpu.train import build_optimizer, create_train_state, make_train_step
+from micro_diffusion_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    make_apply_step,
+    make_grad_step,
+    make_train_step,
+    zero_grad_accumulator,
+)
 from micro_diffusion_tpu.train.optim import cosine_with_warmup
 
 STAGES = {
@@ -243,29 +250,61 @@ def run(args):
     del params
 
     batch_size = args.mb * args.accum
-    step_fn = jax.jit(
-        make_train_step(model, tx, sched,
-                        microbatch_size=args.mb if args.accum > 1 else None),
-        donate_argnums=(0,),
-    )
-    batch = make_batch(batch_size, res)
-
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
-           "accum": args.accum, "nu": args.nu}
+           "accum": args.accum, "nu": args.nu, "mode": args.accum_mode}
     log(f"config: {cfg}")
-    t0 = time.time()
-    state, metrics = step_fn(state, batch, rng)
-    loss0 = float(metrics["loss"])
-    compile_s = time.time() - t0
-    log(f"compile+first step: {compile_s:.0f}s (loss {loss0:.4f})")
-    state, metrics = step_fn(state, batch, rng)
-    float(metrics["loss"])
 
-    t0 = time.time()
-    for _ in range(args.steps):
+    if args.accum > 1 and args.accum_mode == "dispatch":
+        # split-dispatch accumulation: k small grad graphs + one apply graph
+        # (the scanned whole-step graph crashes the remote compile helper)
+        grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+        apply_fn = jax.jit(make_apply_step(tx, sched), static_argnums=(2,),
+                           donate_argnums=(0,))
+        mbatch = make_batch(args.mb, res)
+        # python-side step counter: folding rng with the traced state.step would be
+        # an eager op (slow through the remote-compile relay)
+        pystep = [0]
+
+        def step_cycle(state):
+            acc = zero_grad_accumulator(state.params)
+            r = jax.random.fold_in(rng, pystep[0])
+            pystep[0] += 1
+            for idx in range(args.accum):
+                acc = grad_fn(state.params, acc, mbatch, r, idx)
+            return apply_fn(state, acc, args.accum)
+
+        t0 = time.time()
+        state, metrics = step_cycle(state)
+        loss0 = float(metrics["loss"])
+        compile_s = time.time() - t0
+        log(f"compile+first cycle: {compile_s:.0f}s (loss {loss0:.4f})")
+        state, metrics = step_cycle(state)
+        float(metrics["loss"])
+        t0 = time.time()
+        for _ in range(args.steps):
+            state, metrics = step_cycle(state)
+        final_loss = float(metrics["loss"])
+        dt = (time.time() - t0) / args.steps
+    else:
+        step_fn = jax.jit(
+            make_train_step(model, tx, sched,
+                            microbatch_size=args.mb if args.accum > 1 else None),
+            donate_argnums=(0,),
+        )
+        batch = make_batch(batch_size, res)
+        t0 = time.time()
         state, metrics = step_fn(state, batch, rng)
-    final_loss = float(metrics["loss"])
-    dt = (time.time() - t0) / args.steps
+        loss0 = float(metrics["loss"])
+        compile_s = time.time() - t0
+        log(f"compile+first step: {compile_s:.0f}s (loss {loss0:.4f})")
+        state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])
+
+        t0 = time.time()
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, batch, rng)
+        final_loss = float(metrics["loss"])
+        dt = (time.time() - t0) / args.steps
     img_s = batch_size / dt
 
     rec = {"kind": "train_step", **cfg, "ms_per_step": round(dt * 1e3, 1),
@@ -289,6 +328,8 @@ def main():
     p.add_argument("--remat", default="full", choices=["full", "dots", "none"])
     p.add_argument("--mb", type=int, default=64)
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
+                   dest="accum_mode")
     p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--cost-analysis", action="store_true")

@@ -24,6 +24,7 @@ from micro_diffusion_tpu.train import (
 )
 from micro_diffusion_tpu.train.optim import (
     _label_params,
+    constant_schedule,
     cosine_with_warmup,
     ema_update,
 )
@@ -171,6 +172,50 @@ def test_microbatch_grad_accumulation_consistency():
     np.testing.assert_allclose(
         float(m_full["loss"]), float(loss_manual), rtol=1e-5
     )
+
+
+def test_split_dispatch_accumulation_matches_scan():
+    """make_grad_step + make_apply_step (per-microbatch dispatches) must produce the
+    same step as make_train_step's lax.scan accumulation."""
+    from micro_diffusion_tpu.train import (
+        make_apply_step,
+        make_grad_step,
+        zero_grad_accumulator,
+    )
+
+    model = micro_model()
+    params = model.init(jax.random.PRNGKey(0))
+    sched = constant_schedule(1e-3)
+    tx = build_optimizer(params, sched, clip_norm=0.5)
+    batch = make_batch(8)
+    base_rng = jax.random.PRNGKey(7)
+
+    # reference: one fused step with microbatch scan
+    state_a = create_train_state(params, tx)
+    fused = jax.jit(make_train_step(model, tx, sched, microbatch_size=4))
+    state_a, metrics_a = fused(state_a, batch, base_rng)
+
+    # split: 2 grad dispatches + 1 apply dispatch
+    state_b = create_train_state(params, tx)
+    grad_step = jax.jit(make_grad_step(model), donate_argnums=(1,))
+    apply_step = jax.jit(make_apply_step(tx, sched))
+    rng = jax.random.fold_in(base_rng, state_b.step)
+    acc = zero_grad_accumulator(params)
+    for idx in range(2):
+        mb = jax.tree.map(lambda x: x[idx * 4 : (idx + 1) * 4], batch)
+        acc = grad_step(state_b.params, acc, mb, rng, idx)
+    state_b, metrics_b = jax.jit(apply_step, static_argnums=(2,))(state_b, acc, 2)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics_a["grad_norm"]), float(metrics_b["grad_norm"]), rtol=1e-5
+    )
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_sharded_train_step_8_devices():
