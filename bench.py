@@ -42,19 +42,20 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 439.0
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
+# Ground-truth fwd FLOPs per sample (XLA cost_analysis of the jit'd EDM train loss,
+# 2MNK convention verified; measured via scripts/tune.py --fwd-flops on the real
+# program - the earlier hand model overcounted EC-MoE, which touches 2T tokens of
+# 8 experts' weights, not params x tokens).
+STAGE_FWD_GFLOPS = {
+    (32, 0.75): 96.07,   # res256 mask75
+    (32, 0.0): 241.44,   # res256 mask0
+    (64, 0.75): 340.19,  # res512 mask75
+    (64, 0.0): 883.03,   # res512 mask0
+}
+
+
 def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
-    """Approximate forward FLOPs per sample for MicroDiT-XL: 2 * params * tokens per
-    segment (mixer sees all tokens, backbone sees the kept fraction), + attention
-    score/value terms. Used for the MFU estimate only."""
-    t_full = (latent_res // 2) ** 2
-    t_keep = int(t_full * (1 - mask_ratio))
-    p_mixer = 0.153e9  # 6 mixer blocks at dim 768 + maps (from param tree)
-    p_backbone = 0.95e9  # 28 laddered blocks at dim 1024
-    p_cond = 0.06e9  # embedders/preprocess/final
-    gf = 2 * (p_mixer * t_full + p_backbone * t_keep + p_cond * 77) / 1e9
-    # attention scores+values: mixer full seq, backbone kept seq (avg qkv ~0.77*1024)
-    gf += 2 * 2 * (6 * t_full**2 * 768 + 28 * t_keep**2 * 790) / 1e9
-    return gf
+    return STAGE_FWD_GFLOPS[(latent_res, mask_ratio)]
 
 # (name, latent_res, mask_ratio, schedule_steps, config ladder of (remat_policy, mb)).
 # Ladders start at the measured-best config (PERF.md) and fall back on compile/OOM
