@@ -226,25 +226,35 @@ class FeedForwardECMoe(nn.Module):
         g, m = jax.lax.top_k(jnp.swapaxes(probs, 1, 2), k)  # (n, e, k) values/indices
         g = g.astype(self.dtype)
 
-        # Dispatch: gather each expert's chosen tokens.
-        xin = jnp.take_along_axis(x[:, None, :, :], m[:, :, :, None], axis=2)  # (n,e,k,d)
-        h = jnp.einsum("nekd,edf->nekf", xin, w1, preferred_element_type=jnp.float32)
-        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
-        h = jnp.einsum("nekf,efd->nekd", h, w2, preferred_element_type=jnp.float32)
-        h = h.astype(self.dtype)
+        # Flat expert-major dispatch: gather the chosen tokens into (e, n*k, d) so
+        # the expert matmuls are clean 3-D batched dots with natural layouts. The
+        # earlier (n, e, k, d) einsum form made XLA shuttle 4-D tensors between
+        # {3,2,1,0} and {3,0,2,1} layouts - profiled as the dominant stage-1 cost
+        # (multi-ms transpose/convert fusions per MoE block; see PERF.md round 2).
+        # Only the TINY index/gate arrays are transposed.
+        x_flat = x.reshape(n * t, d)
+        gidx = m + (jnp.arange(n, dtype=m.dtype) * t)[:, None, None]  # (n, e, k)
+        gidx = jnp.swapaxes(gidx, 0, 1).reshape(e, n * k)  # (e, n*k)
+        xin = jnp.take(x_flat, gidx, axis=0)  # (e, n*k, d)
 
-        out = g[..., None] * h  # (n, e, k, d)
+        # bf16 matmul outputs: the MXU accumulates fp32 internally either way, and
+        # bf16 outputs keep the dots-remat-saved tensors half the size with no
+        # fp32->bf16 convert chains (the reference's torch einsum is bf16-out too).
+        h = jnp.einsum("emd,edf->emf", xin, w1)
+        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
+        h = jnp.einsum("emf,efd->emd", h, w2)  # (e, n*k, d)
 
-        # Combine: scatter-add expert outputs back to token positions (tokens picked by
-        # several experts accumulate, matching the reference one-hot combine einsum).
-        def combine(m_b: jax.Array, out_b: jax.Array) -> jax.Array:
-            return (
-                jnp.zeros((t, d), out_b.dtype)
-                .at[m_b.reshape(-1)]
-                .add(out_b.reshape(-1, d))
-            )
+        gt = jnp.swapaxes(g, 0, 1).reshape(e, n * k)  # (e, n*k)
+        out = h * gt[..., None]
 
-        return jax.vmap(combine)(m, out)
+        # Combine: scatter-add back to flat token rows (tokens picked by several
+        # experts accumulate, matching the reference one-hot combine einsum).
+        out_flat = (
+            jnp.zeros((n * t, d), out.dtype)
+            .at[gidx.reshape(-1)]
+            .add(out.reshape(-1, d))
+        )
+        return out_flat.reshape(n, t, d)
 
 
 # --------------------------------------------------------------------------------------

@@ -18,6 +18,7 @@ Notes:
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -116,7 +117,15 @@ def run_breakdown(args):
         return loss
 
     fwd = jax.jit(loss_fn)
-    fwd_bwd = jax.jit(lambda p, r, b: jax.value_and_grad(loss_fn)(p, r, b)[0])
+
+    def _fwd_bwd(p, r, b):
+        import optax
+
+        # reduce over every grad leaf so XLA can't dead-code-eliminate the backward
+        loss, grads = jax.value_and_grad(loss_fn)(p, r, b)
+        return loss + 0.0 * optax.global_norm(grads)
+
+    fwd_bwd = jax.jit(_fwd_bwd)
 
     out = {"kind": "breakdown", "stage": args.stage, "remat": args.remat,
            "mb": args.mb}
@@ -151,7 +160,7 @@ def run_inner(args):
     batch = make_batch(args.mb, res)
     k = args.inner
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, batch, rng):
         def body(s, i):
             s2, m = step(s, batch, jax.random.fold_in(rng, i))
