@@ -2,13 +2,16 @@
 
 Non-causal multi-head attention with a custom VJP, replacing the reference's
 FlashAttention CUDA path (utils.py:127-132,188-193). MicroDiT sequences are short
-(<=1024 image tokens, 77/120 text tokens), so the kernel keeps each (batch, head)'s
-full K/V resident in VMEM and fuses the whole softmax(QK^T)V chain into one program -
-no HBM materialization of the T^2 logits in either pass (the backward recomputes the
-probabilities instead of storing them; at T=1024, D=64 the fp32 score tile is 4MB,
-comfortably inside the ~16MB VMEM budget).
+(<=1024 image tokens, 77/120 text tokens), so each (batch, head)'s full K/V stays
+resident in VMEM and the whole softmax(QK^T)V chain fuses into one program - no HBM
+materialization of the T^2 logits in either pass (the backward recomputes the
+probabilities; at T=1024, D=64 the fp32 score tile is 4MB, inside the ~16MB VMEM
+budget).
 
-Grid: one program per (batch * head). Layout in/out: (B, T, H, D).
+Layout: the kernel consumes (B, T, H, D) DIRECTLY via BlockSpec index maps over a
+(batch, head) grid - no (B*H, T, D) reshape/transpose on the host side. The earlier
+wrapper's transposes showed up as multi-ms relayout `copy` ops in device traces
+(PERF.md round 2); with per-(b,h) index maps XLA feeds the custom call in place.
 """
 
 import functools
@@ -21,9 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (Tq, D)
-    k = k_ref[0]  # (Tk, D)
-    v = v_ref[0]
+    q = q_ref[0, :, 0, :]  # (Tq, D)
+    k = k_ref[0, :, 0, :]  # (Tk, D)
+    v = v_ref[0, :, 0, :]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (Tq, Tk)
@@ -31,14 +34,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
     p = (e / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o_ref[0, :, 0, :] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float):
+    q = q_ref[0, :, 0, :]
+    k = k_ref[0, :, 0, :]
+    v = v_ref[0, :, 0, :]
+    do = do_ref[0, :, 0, :].astype(jnp.float32)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -49,7 +55,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
     p = e / l  # (Tq, Tk) fp32
 
     # dv = p^T do
-    dv_ref[0] = jax.lax.dot_general(
+    dv_ref[0, :, 0, :] = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
@@ -60,29 +66,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
     )
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale  # (Tq, Tk) fp32
-    dq_ref[0] = jnp.dot(
+    dq_ref[0, :, 0, :] = jnp.dot(
         ds.astype(q.dtype), k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
+    dk_ref[0, :, 0, :] = jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
 
-def _bhtd_to_bh(q):  # (B, T, H, D) -> (B*H, T, D)
-    b, t, h, d = q.shape
-    return jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, t, d)
-
-
-def _bh_to_bhtd(x, b, h):  # (B*H, T, D) -> (B, T, H, D)
-    _, t, d = x.shape
-    return jnp.transpose(x.reshape(b, h, t, d), (0, 2, 1, 3))
-
-
-def _specs(tq, tk, d):
-    block = lambda t: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)
-    return [block(tq), block(tk), block(tk)], block(tq)
+def _spec(t, d):
+    """One (b, h) slice of a (B, T, H, D) array, picked by the (b, h) grid."""
+    return pl.BlockSpec((1, t, 1, d), lambda b, h: (b, 0, h, 0),
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -99,17 +95,17 @@ def _forward(q, k, v, scale, interpret):
     tk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    qh, kh, vh = _bhtd_to_bh(q), _bhtd_to_bh(k), _bhtd_to_bh(v)
-    in_specs, out_spec = _specs(tq, tk, d)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        grid=(b, h),
+        in_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d)],
+        out_specs=_spec(tq, d),
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
-    )(qh, kh, vh)
-    return _bh_to_bhtd(out, b, h)
+    )(q, k, v)
 
 
 def _fwd_rule(q, k, v, scale, interpret):
@@ -122,27 +118,22 @@ def _bwd_rule(scale, interpret, res, g):
     tk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    qh, kh, vh, gh = map(_bhtd_to_bh, (q, k, v, g))
-    in_specs, _ = _specs(tq, tk, d)
-    do_spec = pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_specs = [
-        pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-    ]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=in_specs + [do_spec],
-        out_specs=out_specs,
+        grid=(b, h),
+        in_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d), _spec(tq, d)],
+        out_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d)],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, tk, h, d), k.dtype),
+            jax.ShapeDtypeStruct((b, tk, h, d), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
-    )(qh, kh, vh, gh)
-    return _bh_to_bhtd(dq, b, h), _bh_to_bhtd(dk, b, h), _bh_to_bhtd(dv, b, h)
+    )(q, k, v, g)
+    return dq, dk, dv
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
