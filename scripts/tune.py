@@ -214,34 +214,34 @@ def run_profile(args):
 
 
 def summarize_xplane(trace_dir):
-    """Aggregate device-plane op durations from the newest .xplane.pb under dir."""
+    """Aggregate device-plane op durations from the newest .xplane.pb under dir
+    (first-party wire-format parser; the image's TF/plugin converter is broken)."""
     import glob
+    import re
 
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from xplane_summary import parse_xspace
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))
     if not paths:
         return {"error": "no xplane.pb written"}
-    xspace = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
+        planes = parse_xspace(f.read())
     out = {}
-    for plane in xspace.planes:
-        total_by_name = {}
-        meta = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(
-            plane.event_metadata, "values") else {
-            k: v.name for k, v in plane.event_metadata.items()}
+    for plane in planes:
+        totals = {}
         n_events = 0
-        for line in plane.lines:
-            for ev in line.events:
+        for _line_name, events in plane["lines"]:
+            for mid, dur in events:
                 n_events += 1
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                total_by_name[name] = total_by_name.get(name, 0) + ev.duration_ps
-        top = sorted(total_by_name.items(), key=lambda kv: -kv[1])[:25]
-        out[plane.name] = {
+                nm = plane["event_meta"].get(mid, f"#{mid}")
+                if re.fullmatch(r"\d+", nm):
+                    continue
+                totals[nm] = totals.get(nm, 0) + dur
+        top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
+        out[plane["name"]] = {
             "events": n_events,
-            "top_ops_ms": [(n, round(ps / 1e9, 3)) for n, ps in top],
+            "top_ops_ms": [(n[:140], round(ps / 1e9, 3)) for n, ps in top],
         }
     return out
 
