@@ -1,17 +1,21 @@
 """Pallas TPU attention kernels for MicroDiT.
 
 Non-causal multi-head attention with a custom VJP, replacing the reference's
-FlashAttention CUDA path (utils.py:127-132,188-193). MicroDiT sequences are short
-(<=1024 image tokens, 77/120 text tokens), so each (batch, head)'s full K/V stays
-resident in VMEM and the whole softmax(QK^T)V chain fuses into one program - no HBM
-materialization of the T^2 logits in either pass (the backward recomputes the
-probabilities; at T=1024, D=64 the fp32 score tile is 4MB, inside the ~16MB VMEM
-budget).
+FlashAttention CUDA path (utils.py:127-132,188-193).
 
-Layout: the kernel consumes (B, T, H, D) DIRECTLY via BlockSpec index maps over a
-(batch, head) grid - no (B*H, T, D) reshape/transpose on the host side. The earlier
-wrapper's transposes showed up as multi-ms relayout `copy` ops in device traces
-(PERF.md round 2); with per-(b,h) index maps XLA feeds the custom call in place.
+Design (round 2, driven by device traces - PERF.md):
+  * The kernel consumes (B, T, H, D) IN PLACE: blocks are (1, T, H_BLOCK, D) slices
+    over a (batch, head-block) grid, so there is no (B*H, T, D) reshape/transpose on
+    the host side (those relayouts showed up as multi-ms `copy` ops in traces).
+    Mosaic's block rule (last two dims divisible by (8, 128) or equal to the full
+    dimension) is satisfied by H_BLOCK in {full H, multiples of 8} and D = full dim.
+  * Heads iterate in a STATIC in-kernel loop; Q iterates in static chunks sized so
+    the fp32 score tile stays ~<=1MB - everything fits the ~16MB VMEM budget even
+    for the backward at T=1024 (dk/dv accumulate in fp32 VMEM across Q chunks
+    inside one program, no cross-program accumulation needed).
+  * MicroDiT sequences are short (<=1024 image tokens, 77/120 text tokens), so each
+    (batch, head-block)'s full K/V stays resident; softmax rows are complete (no
+    online-softmax state).
 """
 
 import functools
@@ -23,62 +27,99 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, :, 0, :]  # (Tq, D)
-    k = k_ref[0, :, 0, :]  # (Tk, D)
-    v = v_ref[0, :, 0, :]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tq, Tk)
+def _head_block(tq: int, tk: int, h: int) -> int:
+    """Heads per program: all of them for short sequences, else the largest
+    multiple of 8 that divides H (falling back to full H)."""
+    if tq * tk <= 512 * 512:
+        return h
+    for cand in (8, 16):
+        if h % cand == 0:
+            return cand
+    return h
+
+
+def _q_chunk(tq: int, tk: int) -> int:
+    """Static Q-chunk size keeping the fp32 score tile <= ~1MB."""
+    if tq * tk * 4 <= (1 << 20):
+        return tq
+    chunk = max(1, (1 << 20) // (tk * 4))
+    while tq % chunk:
+        chunk -= 1
+    return chunk
+
+
+def _softmax_rows(s):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / l).astype(v.dtype)
-    o_ref[0, :, 0, :] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h_block, q_chunk):
+    tq = q_ref.shape[1]
+    for h in range(h_block):
+        k = k_ref[0, :, h, :]  # (Tk, D)
+        v = v_ref[0, :, h, :]
+        for c in range(tq // q_chunk):
+            lo = c * q_chunk
+            q = q_ref[0, lo:lo + q_chunk, h, :]  # (q_chunk, D)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = _softmax_rows(s).astype(v.dtype)
+            o_ref[0, lo:lo + q_chunk, h, :] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale: float):
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :].astype(jnp.float32)
+                scale, h_block, q_chunk):
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    d = q_ref.shape[3]
+    for h in range(h_block):
+        k = k_ref[0, :, h, :]
+        v = v_ref[0, :, h, :]
+        dk_acc = jnp.zeros((tk, d), jnp.float32)
+        dv_acc = jnp.zeros((tk, d), jnp.float32)
+        for c in range(tq // q_chunk):
+            lo = c * q_chunk
+            q = q_ref[0, lo:lo + q_chunk, h, :]
+            do = do_ref[0, lo:lo + q_chunk, h, :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = _softmax_rows(s)  # (q_chunk, Tk) fp32
+            # dv += p^T do
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(do_ref.dtype), do.astype(do_ref.dtype),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            # dp = do v^T ; ds = p * (dp - rowsum(p * dp)) * scale
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(q.dtype)  # (q_chunk, Tk)
+            dq_ref[0, lo:lo + q_chunk, h, :] = jnp.dot(
+                ds, k, preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dk_ref[0, :, h, :] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, h, :] = dv_acc.astype(dv_ref.dtype)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l  # (Tq, Tk) fp32
 
-    # dv = p^T do
-    dv_ref[0, :, 0, :] = jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    # dp = do v^T ; ds = p * (dp - rowsum(p * dp)) * scale
-    dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+def _specs(tq, tk, h_block, d):
+    blk = lambda t: pl.BlockSpec(
+        (1, t, h_block, d), lambda b, hb: (b, 0, hb, 0),
+        memory_space=pltpu.VMEM,
     )
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale  # (Tq, Tk) fp32
-    dq_ref[0, :, 0, :] = jnp.dot(
-        ds.astype(q.dtype), k, preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-    dk_ref[0, :, 0, :] = jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
-
-
-def _spec(t, d):
-    """One (b, h) slice of a (B, T, H, D) array, picked by the (b, h) grid."""
-    return pl.BlockSpec((1, t, 1, d), lambda b, h: (b, 0, h, 0),
-                        memory_space=pltpu.VMEM)
+    return blk(tq), blk(tk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -95,11 +136,14 @@ def _forward(q, k, v, scale, interpret):
     tk = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    hb = _head_block(tq, tk, h)
+    qc = _q_chunk(tq, tk)
+    q_spec, kv_spec = _specs(tq, tk, hb, d)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=(b, h),
-        in_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d)],
-        out_specs=_spec(tq, d),
+        functools.partial(_fwd_kernel, scale=scale, h_block=hb, q_chunk=qc),
+        grid=(b, h // hb),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -118,11 +162,14 @@ def _bwd_rule(scale, interpret, res, g):
     tk = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    hb = _head_block(tq, tk, h)
+    qc = _q_chunk(tq, tk)
+    q_spec, kv_spec = _specs(tq, tk, hb, d)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        grid=(b, h),
-        in_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d), _spec(tq, d)],
-        out_specs=[_spec(tq, d), _spec(tk, d), _spec(tk, d)],
+        functools.partial(_bwd_kernel, scale=scale, h_block=hb, q_chunk=qc),
+        grid=(b, h // hb),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
             jax.ShapeDtypeStruct((b, tk, h, d), k.dtype),

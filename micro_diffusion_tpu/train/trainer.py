@@ -32,7 +32,15 @@ from ..parallel import (
 )
 from .callbacks import Callback, Logger
 from .optim import build_optimizer, build_schedule
-from .train_step import TrainState, create_train_state, make_eval_step, make_train_step
+from .train_step import (
+    TrainState,
+    create_train_state,
+    make_apply_step,
+    make_eval_step,
+    make_grad_step,
+    make_train_step,
+    zero_grad_accumulator,
+)
 
 
 def parse_duration(v: Any) -> int:
@@ -73,6 +81,9 @@ class Trainer:
         metric_window: int = 10,
         device: str = "tpu",  # accepted for config parity; jax picks the backend
         autoresume: bool = False,
+        accum_mode: str = "scan",  # 'scan' (one fused step) | 'dispatch' (k small
+        # grad graphs + one apply graph - for toolchains that reject the scanned
+        # whole-step program; semantics identical, see train_step.py)
         **_: Any,
     ):
         self.model = model
@@ -149,6 +160,24 @@ class Trainer:
         )
         self._b_sh = batch_sharding(self.mesh)
 
+        assert accum_mode in ("scan", "dispatch"), accum_mode
+        self.accum_mode = accum_mode
+        self._grad_fn = self._apply_fn = None
+        if accum_mode == "dispatch" and self.microbatch_size:
+            self._grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+            self._apply_fn = jax.jit(
+                make_apply_step(
+                    self.tx,
+                    self.lr_schedule,
+                    ema_smoothing=self.ema_cfg["smoothing"] if self.ema_cfg else None,
+                    ema_start=self.ema_cfg["ema_start"] if self.ema_cfg else 0,
+                    ema_update_interval=(
+                        self.ema_cfg["update_interval"] if self.ema_cfg else 1
+                    ),
+                ),
+                static_argnums=(2,),
+                donate_argnums=(0,),
+            )
         self._step_fn = jax.jit(
             make_train_step(
                 model,
@@ -191,10 +220,17 @@ class Trainer:
             if latest is not None:
                 self.load_orbax_step(latest)
 
+        # Host-side mirror of state.step: reading int(self.state.step) every loop
+        # iteration would force a device sync per step (a relay round trip here),
+        # serializing dispatch with execution.
+        self._py_step = int(self.state.step)
+
     # ------------------------------------------------------------------ utils
 
     @property
     def global_step(self) -> int:
+        if getattr(self, "_py_step", None) is not None:
+            return self._py_step
         return int(self.state.step)
 
     def print(self, msg: str) -> None:
@@ -399,6 +435,20 @@ class Trainer:
         else:
             yield from loader
 
+    def _train_one_batch(self, batch: Any, rng: jax.Array):
+        if self._grad_fn is None:
+            return self._step_fn(self.state, batch, rng)
+        # dispatch-mode accumulation: k per-microbatch grad graphs + one apply
+        b = jax.tree.leaves(batch)[0].shape[0]
+        mb = self.microbatch_size
+        n = max(1, b // mb)
+        r = jax.random.fold_in(rng, self.global_step)
+        acc = zero_grad_accumulator(self.state.params)
+        for idx in range(n):
+            micro = jax.tree.map(lambda x: x[idx * mb:(idx + 1) * mb], batch)
+            acc = self._grad_fn(self.state.params, acc, micro, r, idx)
+        return self._apply_fn(self.state, acc, n)
+
     # ------------------------------------------------------------------ fit
 
     def fit(self) -> None:
@@ -421,7 +471,8 @@ class Trainer:
                 if step >= self.max_steps:
                     break
                 batch = self._stage_batch(batch)
-                self.state, metrics = self._step_fn(self.state, batch, rng)
+                self.state, metrics = self._train_one_batch(batch, rng)
+                self._py_step = step + 1
                 pending_metrics = metrics
 
                 next_step = step + 1

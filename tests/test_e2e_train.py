@@ -232,3 +232,21 @@ def test_ema_stage_transition(tmp_path, dataset_dir):
         int(d) for d in os.listdir(tmp_path / "withema" / "ckpts") if d.isdigit()
     )
     assert steps[-1] == 4
+
+
+def test_dispatch_accum_mode(tmp_path, dataset_dir):
+    """accum_mode=dispatch trains end-to-end (k grad dispatches + apply per batch)
+    and checkpoints at the same cadence as the fused-scan path."""
+    cfg_path = make_config(tmp_path, dataset_dir, "dispatch_mode",
+                           accum_mode="dispatch", max_duration="4ba",
+                           eval_interval=0, save_interval="4ba")
+    train_main(["--config-path", str(tmp_path), "--config-name", "dispatch_mode"])
+    ckpt_dir = tmp_path / "dispatch_mode" / "ckpts"
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert 4 in steps
+    import json
+
+    metrics = [json.loads(l) for l in
+               open(tmp_path / "dispatch_mode" / "metrics.jsonl")]
+    losses = [m["loss/train/total"] for m in metrics if "loss/train/total" in m]
+    assert losses and all(np.isfinite(l) for l in losses)

@@ -16,17 +16,41 @@ def rand(shape, key):
 
 
 @pytest.mark.parametrize(
-    "tq,tk",
-    [(64, 64), (256, 77), (128, 128)],
+    "tq,tk,h",
+    [
+        (64, 64, 4),     # stage-1 masked backbone
+        (256, 77, 12),   # mixer/cross shapes, odd head count (full-H block)
+        (128, 128, 4),
+        (1024, 1024, 16),  # 512px unmasked: head-blocked (8) + q-chunked path
+        (1024, 77, 16),    # 512px cross-attention
+    ],
 )
-def test_forward_matches_xla(tq, tk):
-    b, h, d = 2, 4, 64
+def test_forward_matches_xla(tq, tk, h):
+    b, d = 2, 64
     q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
     ref = _xla_attention(q, k, v, d**-0.5)
     out = jax.jit(
         lambda q, k, v: flash_attention(q, k, v, None, True)
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla_long_seq():
+    """Backward with the head-blocked + q-chunked path (dk/dv VMEM accumulation)."""
+    b, tq, tk, h, d = 1, 1024, 1024, 16, 64
+    q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, None, True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, d**-0.5)))
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4)
 
 
 def test_gradients_match_xla():
