@@ -246,6 +246,51 @@ def summarize_xplane(trace_dir):
     return out
 
 
+def run_matmul_peak(args):
+    """Roofline calibration: achieved TFLOPS on plain big bf16 matmuls + HBM GB/s on
+    a copy - measures what this chip actually delivers through the relay."""
+    results = {}
+    for n in (4096, 8192):
+        a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+        @jax.jit
+        def chain(a, b):
+            def body(x, _):
+                return jax.lax.dot(x, b, preferred_element_type=jnp.bfloat16), ()
+            y, _ = jax.lax.scan(body, a, None, length=20)
+            return jnp.float32(y[0, 0])
+
+        t0 = time.time()
+        float(chain(a, b))
+        log(f"matmul {n}: compile {time.time() - t0:.0f}s")
+        t0 = time.time()
+        float(chain(a, b))
+        dt = time.time() - t0
+        tflops = 20 * 2 * n**3 / dt / 1e12
+        results[f"matmul_{n}_tflops"] = round(tflops, 1)
+        log(f"matmul {n}x{n}x{n} x20: {dt * 1e3:.1f} ms = {tflops:.1f} TFLOPS")
+
+    c = jax.random.normal(jax.random.PRNGKey(2), (1 << 28,), jnp.float32)  # 1GB
+
+    @jax.jit
+    def copy_chain(x):
+        def body(x, _):
+            return x * 1.000001, ()
+        y, _ = jax.lax.scan(body, x, None, length=20)
+        return y[0]
+
+    t0 = time.time()
+    float(copy_chain(c))
+    t0 = time.time()
+    float(copy_chain(c))
+    dt = time.time() - t0
+    gbs = 20 * 2 * c.nbytes / dt / 1e9
+    results["hbm_gbps"] = round(gbs, 0)
+    log(f"HBM r+w: {gbs:.0f} GB/s")
+    emit({"kind": "matmul_peak", **results})
+
+
 def run(args):
     res, mask = STAGES[args.stage]
     model, params, rng = build(args.stage, args.remat, args.mb)
@@ -344,6 +389,8 @@ def main():
     p.add_argument("--cost-analysis", action="store_true")
     p.add_argument("--fwd-flops", action="store_true")
     p.add_argument("--breakdown", action="store_true")
+    p.add_argument("--matmul-peak", action="store_true",
+                   help="roofline calibration: plain matmul TFLOPS + HBM GB/s")
     p.add_argument("--profile", action="store_true",
                    help="jax.profiler trace + xplane op summary")
     p.add_argument("--inner", type=int, default=0,
@@ -351,6 +398,9 @@ def main():
     args = p.parse_args()
     if args.fwd_flops:
         measure_fwd_flops(args.stage)
+        return
+    if args.matmul_peak:
+        run_matmul_peak(args)
         return
     try:
         if args.profile:
