@@ -65,8 +65,14 @@ def dot_product_attention(
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and q.shape[1] >= 512) else "xla"
     if impl == "pallas":
+        interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
+        # 'bthd' (default): transpose-free v3 kernel; 'bh': round-1 (B*H,T,D)
+        # variant - proven against this environment's flaky remote compiler.
+        if os.environ.get("MDT_FLASH_VARIANT", "bthd") == "bh":
+            from .flash_attention_bh import flash_attention_bh
+
+            return flash_attention_bh(q, k, v, scale, interpret)
         from .flash_attention import flash_attention
 
-        interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
         return flash_attention(q, k, v, scale, interpret)
     return _xla_attention(q, k, v, scale)

@@ -1,0 +1,143 @@
+"""Legacy (round-1) Pallas flash attention: (B*H, T, D) internal layout.
+
+One program per (batch*head), host-side transposes around the call. Proven to
+compile and win +25% at T=1024 on this environment's remote compile service; kept
+as the fallback variant (MDT_FLASH_VARIANT=bh) because the transpose-free v3
+kernel (flash_attention.py) intermittently trips the service's HTTP 500s.
+"""
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (Tq, D)
+    k = k_ref[0]  # (Tk, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Tq, Tk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / l).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l  # (Tq, Tk) fp32
+
+    # dv = p^T do
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    # dp = do v^T ; ds = p * (dp - rowsum(p * dp)) * scale
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale  # (Tq, Tk) fp32
+    dq_ref[0] = jnp.dot(
+        ds.astype(q.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _bhtd_to_bh(q):  # (B, T, H, D) -> (B*H, T, D)
+    b, t, h, d = q.shape
+    return jnp.transpose(q, (0, 2, 1, 3)).reshape(b * h, t, d)
+
+
+def _bh_to_bhtd(x, b, h):  # (B*H, T, D) -> (B, T, H, D)
+    _, t, d = x.shape
+    return jnp.transpose(x.reshape(b, h, t, d), (0, 2, 1, 3))
+
+
+def _specs(tq, tk, d):
+    block = lambda t: pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    return [block(tq), block(tk), block(tk)], block(tq)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_bh(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    scale: float | None = None, interpret: bool = False,
+) -> jax.Array:
+    """Non-causal MHA, layout (B, T, H, D); semantics match ops.attention xla path."""
+    return _forward(q, k, v, scale, interpret)
+
+
+def _forward(q, k, v, scale, interpret):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    qh, kh, vh = _bhtd_to_bh(q), _bhtd_to_bh(k), _bhtd_to_bh(v)
+    in_specs, out_spec = _specs(tq, tk, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh)
+    return _bh_to_bhtd(out, b, h)
+
+
+def _fwd_rule(q, k, v, scale, interpret):
+    return _forward(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bwd_rule(scale, interpret, res, g):
+    q, k, v = res
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    qh, kh, vh, gh = map(_bhtd_to_bh, (q, k, v, g))
+    in_specs, _ = _specs(tq, tk, d)
+    do_spec = pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=in_specs + [do_spec],
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, gh)
+    return _bh_to_bhtd(dq, b, h), _bh_to_bhtd(dk, b, h), _bh_to_bhtd(dv, b, h)
+
+
+flash_attention_bh.defvjp(_fwd_rule, _bwd_rule)
