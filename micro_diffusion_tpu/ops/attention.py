@@ -22,10 +22,11 @@ def _default_impl() -> str:
     """'auto' | 'xla' | 'pallas', read per-call so tests/benchmarks can flip the
     backend. MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode.
 
-    'auto' (default): the Pallas flash kernel on TPU for sequences >= 512, XLA
-    otherwise. Measured on XL train steps (one v5e chip): T=1024 flash is +25%
-    (545.6 -> 434.0 ms/step, 512px unmasked); T=256 flash is -11% (the per-(b,h)
-    full-K program is too small to amortize), so the crossover sits between."""
+    'auto' (default): the Pallas flash kernel on TPU for sequences >= 256, XLA
+    below. Measured head-to-head (fwd+bwd, one v5e chip, round 2): at T=1024
+    flash-bh is 2.3-2.6x XLA (2.92 vs 6.84 ms at b8h16); at T=256 it wins 1.5x
+    at b16h16 and ties at b64h12; at T=64 XLA wins (2.04 vs 2.30 ms), so the
+    crossover sits at 256."""
     return os.environ.get("MDT_ATTENTION_IMPL", "auto")
 
 
@@ -63,12 +64,15 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 512) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
     if impl == "pallas":
         interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
-        # 'bthd' (default): transpose-free v3 kernel; 'bh': round-1 (B*H,T,D)
-        # variant - proven against this environment's flaky remote compiler.
-        if os.environ.get("MDT_FLASH_VARIANT", "bthd") == "bh":
+        # 'bh' (default): (B*H,T,D) whole-K kernel - fastest measured variant at
+        # every MicroDiT shape (its host transposes cost less than the in-place
+        # variant's tiled accumulators). 'bthd': canonical flash (v5) - consumes
+        # (B,T,H,D) in place, saves lse, tiles both sequence dims; scales past
+        # T=1024 and stays under the 16MB VMEM roof where whole-K backwards OOM.
+        if os.environ.get("MDT_FLASH_VARIANT", "bh") == "bh":
             from .flash_attention_bh import flash_attention_bh
 
             return flash_attention_bh(q, k, v, scale, interpret)

@@ -1,21 +1,35 @@
-"""Pallas TPU attention kernels for MicroDiT.
+"""Pallas TPU flash-attention kernels for MicroDiT.
 
 Non-causal multi-head attention with a custom VJP, replacing the reference's
 FlashAttention CUDA path (utils.py:127-132,188-193).
 
-Design (round 2, driven by device traces - PERF.md):
-  * The kernel consumes (B, T, H, D) IN PLACE: blocks are (1, T, H_BLOCK, D) slices
-    over a (batch, head-block) grid, so there is no (B*H, T, D) reshape/transpose on
-    the host side (those relayouts showed up as multi-ms `copy` ops in traces).
-    Mosaic's block rule (last two dims divisible by (8, 128) or equal to the full
-    dimension) is satisfied by H_BLOCK in {full H, multiples of 8} and D = full dim.
-  * Heads iterate in a STATIC in-kernel loop; Q iterates in static chunks sized so
-    the fp32 score tile stays ~<=1MB - everything fits the ~16MB VMEM budget even
-    for the backward at T=1024 (dk/dv accumulate in fp32 VMEM across Q chunks
-    inside one program, no cross-program accumulation needed).
-  * MicroDiT sequences are short (<=1024 image tokens, 77/120 text tokens), so each
-    (batch, head-block)'s full K/V stays resident; softmax rows are complete (no
-    online-softmax state).
+Design (round 2 v5 - canonical FlashAttention, driven by device traces and
+Mosaic-capability probes; see PERF.md):
+  * Layout: inputs are consumed (B, T, H, D) IN PLACE - blocks slice
+    (1, t_chunk, H_BLOCK, D) over a (batch, head-block, ...) grid and the
+    kernels read per-head 2D tiles with a middle scalar index
+    (`q_ref[0, :, h, :]`), which Mosaic supports on LOADS (probed on
+    hardware). The (B*H, T, D) variant's 3 input transposes (multi-ms `copy`
+    ops in traces) are gone.
+  * Outputs are produced (B, H, T, D): per-head stores then only prepend unit
+    dims (`o_ref[0, h] = tile`), the one cast direction Mosaic supports on
+    STORES (storing into a middle-unit slice is an unsupported shape cast in
+    infer-vector-layout). The wrappers transpose outputs back to (B, T, H, D);
+    XLA fuses the fp32->bf16 cast of the gradient accumulators into those
+    copies. Net relayout traffic: 1 tensor fwd + 3 bwd, vs 4 + 7 before.
+  * Forward: K/V for a head-block stay VMEM-resident (MicroDiT sequences are
+    <=1024 image / 77-120 text tokens); Q walks the innermost grid dim in
+    chunks; softmax rows are complete, and the row logsumexp is saved for the
+    backward (flash-v2 style).
+  * Backward: TWO kernels (dq and dk/dv), each gridding BOTH sequence dims
+    with a fp32 revisited-accumulator output on the sequential innermost dim.
+    Probabilities are recomputed per (q_chunk, k_chunk) tile from the saved
+    lse; delta = rowsum(dO * O) is precomputed in XLA (a cheap fused reduce).
+    Whole-K single-kernel backwards do not fit v5e's 16MB VMEM at T=1024 with
+    an 8-head block (measured 16.75-27MB scoped allocations); this shape
+    needs only ~4MB per kernel and scales to any T.
+  * H_BLOCK is 8 when H is a multiple of 8 (the Pallas TPU block rule needs
+    the minormost-two block dims to be (8k, full-D)), else full H.
 """
 
 import functools
@@ -27,99 +41,164 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _head_block(tq: int, tk: int, h: int) -> int:
-    """Heads per program: all of them for short sequences, else the largest
-    multiple of 8 that divides H (falling back to full H)."""
-    if tq * tk <= 512 * 512:
-        return h
-    for cand in (8, 16):
-        if h % cand == 0:
-            return cand
-    return h
+def _head_block(h: int) -> int:
+    """Heads per program: 8 when it divides H (block rule), else all of them."""
+    return 8 if h % 8 == 0 else h
 
 
-def _q_chunk(tq: int, tk: int) -> int:
-    """Static Q-chunk size keeping the fp32 score tile <= ~1MB."""
-    if tq * tk * 4 <= (1 << 20):
-        return tq
-    chunk = max(1, (1 << 20) // (tk * 4))
-    while tq % chunk:
-        chunk -= 1
-    return chunk
+def _chunk(t: int, target: int = 256) -> int:
+    """Largest divisor of t that is <= target (the (qc, kc) fp32 score tile at
+    256x256 is 256KB - far under VMEM while still MXU-sized)."""
+    if t <= target:
+        return t
+    c = target
+    while t % c:
+        c -= 1
+    return c
 
 
-def _softmax_rows(s):
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+# --------------------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h_block, q_chunk):
-    tq = q_ref.shape[1]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, h_block):
+    """One Q chunk per program (innermost grid dim); K/V blocks ignore that dim
+    so they are fetched once per (batch, head-block). Saves row logsumexp."""
     for h in range(h_block):
         k = k_ref[0, :, h, :]  # (Tk, D)
         v = v_ref[0, :, h, :]
-        for c in range(tq // q_chunk):
-            lo = c * q_chunk
-            q = q_ref[0, lo:lo + q_chunk, h, :]  # (q_chunk, D)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            p = _softmax_rows(s).astype(v.dtype)
-            o_ref[0, lo:lo + q_chunk, h, :] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+        q = q_ref[0, :, h, :]  # (q_chunk, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e / l).astype(v.dtype)
+        o_ref[0, h, :, :] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        lse_ref[0, h, :] = (m + jnp.log(l))[:, 0]
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, h_block, q_chunk):
-    tq = q_ref.shape[1]
-    tk = k_ref.shape[1]
-    d = q_ref.shape[3]
-    for h in range(h_block):
-        k = k_ref[0, :, h, :]
-        v = v_ref[0, :, h, :]
-        dk_acc = jnp.zeros((tk, d), jnp.float32)
-        dv_acc = jnp.zeros((tk, d), jnp.float32)
-        for c in range(tq // q_chunk):
-            lo = c * q_chunk
-            q = q_ref[0, lo:lo + q_chunk, h, :]
-            do = do_ref[0, lo:lo + q_chunk, h, :].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            p = _softmax_rows(s)  # (q_chunk, Tk) fp32
-            # dv += p^T do
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(do_ref.dtype), do.astype(do_ref.dtype),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            # dp = do v^T ; ds = p * (dp - rowsum(p * dp)) * scale
-            dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = (p * (dp - delta) * scale).astype(q.dtype)  # (q_chunk, Tk)
-            dq_ref[0, lo:lo + q_chunk, h, :] = jnp.dot(
-                ds, k, preferred_element_type=jnp.float32
-            ).astype(dq_ref.dtype)
-            dk_acc = dk_acc + jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dk_ref[0, :, h, :] = dk_acc.astype(dk_ref.dtype)
-        dv_ref[0, :, h, :] = dv_acc.astype(dv_ref.dtype)
-
-
-def _specs(tq, tk, h_block, d):
-    blk = lambda t: pl.BlockSpec(
-        (1, t, h_block, d), lambda b, hb: (b, 0, hb, 0),
+def _forward_with_lse(q, k, v, scale, interpret):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    hb = _head_block(h)
+    qc = _chunk(tq)
+    q_spec = pl.BlockSpec(
+        (1, qc, hb, d), lambda b, hb_, c: (b, c, hb_, 0),
         memory_space=pltpu.VMEM,
     )
-    return blk(tq), blk(tk)
+    kv_spec = pl.BlockSpec(
+        (1, tk, hb, d), lambda b, hb_, c: (b, 0, hb_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    o_spec = pl.BlockSpec(
+        (1, hb, qc, d), lambda b, hb_, c: (b, hb_, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    lse_spec = pl.BlockSpec(
+        (1, hb, qc), lambda b, hb_, c: (b, hb_, c),
+        memory_space=pltpu.VMEM,
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, h_block=hb),
+        grid=(b, h // hb, tq // qc),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[o_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
+
+
+# --------------------------------------------------------------------------------------
+# Backward
+# --------------------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               scale, h_block):
+    """Grid (b, head-block, q_chunk, k_chunk); k_chunk sequential. dq block
+    ignores k_chunk -> VMEM-resident fp32 accumulator, one tile per step."""
+    kc = pl.program_id(3)
+
+    @pl.when(kc == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    for h in range(h_block):
+        k = k_ref[0, :, h, :]  # (k_chunk, D)
+        v = v_ref[0, :, h, :]
+        q = q_ref[0, :, h, :]  # (q_chunk, D)
+        do = do_ref[0, :, h, :].astype(jnp.float32)
+        lse = lse_ref[0, h, :]      # (q_chunk,)
+        delta = delta_ref[0, h, :]  # (q_chunk,)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(s - lse[:, None])  # (q_chunk, k_chunk)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)
+        dq_ref[0, h, :, :] += jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        )
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, h_block):
+    """Grid (b, head-block, k_chunk, q_chunk); q_chunk sequential. dk/dv blocks
+    ignore q_chunk -> VMEM-resident fp32 accumulators. Works on transposed
+    (k_chunk, q_chunk) score tiles so all stores are (row-block, D)-shaped."""
+    qc = pl.program_id(3)
+
+    @pl.when(qc == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for h in range(h_block):
+        k = k_ref[0, :, h, :]  # (k_chunk, D)
+        v = v_ref[0, :, h, :]
+        q = q_ref[0, :, h, :]  # (q_chunk, D)
+        do = do_ref[0, :, h, :]
+        lse = lse_ref[0, h, :]      # (q_chunk,)
+        delta = delta_ref[0, h, :]  # (q_chunk,)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (k_chunk, q_chunk)
+        pt = jnp.exp(st - lse[None, :])
+        dv_ref[0, h, :, :] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpt = jax.lax.dot_general(
+            v.astype(jnp.float32), do.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (k_chunk, q_chunk)
+        dst = (pt * (dpt - delta[None, :]) * scale).astype(q.dtype)
+        dk_ref[0, h, :, :] += jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _to_bthd(x):  # (B, H, T, D) -> (B, T, H, D)
+    return jnp.transpose(x, (0, 2, 1, 3))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -128,59 +207,98 @@ def flash_attention(
     scale: float | None = None, interpret: bool = False,
 ) -> jax.Array:
     """Non-causal MHA, layout (B, T, H, D); semantics match ops.attention xla path."""
-    return _forward(q, k, v, scale, interpret)
-
-
-def _forward(q, k, v, scale, interpret):
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
     if scale is None:
-        scale = d**-0.5
-    hb = _head_block(tq, tk, h)
-    qc = _q_chunk(tq, tk)
-    q_spec, kv_spec = _specs(tq, tk, hb, d)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, h_block=hb, q_chunk=qc),
-        grid=(b, h // hb),
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        interpret=interpret,
-    )(q, k, v)
+        scale = q.shape[-1] ** -0.5
+    out, _ = _forward_with_lse(q, k, v, scale, interpret)
+    return _to_bthd(out)
 
 
 def _fwd_rule(q, k, v, scale, interpret):
-    return _forward(q, k, v, scale, interpret), (q, k, v)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _forward_with_lse(q, k, v, scale, interpret)
+    out_bthd = _to_bthd(out)
+    return out_bthd, (q, k, v, out_bthd, lse)
 
 
 def _bwd_rule(scale, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    hb = _head_block(tq, tk, h)
-    qc = _q_chunk(tq, tk)
-    q_spec, kv_spec = _specs(tq, tk, hb, d)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, h_block=hb, q_chunk=qc),
-        grid=(b, h // hb),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
-        out_specs=[q_spec, kv_spec, kv_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, tq, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b, tk, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, tk, h, d), v.dtype),
-        ],
+    hb = _head_block(h)
+    qc = _chunk(tq)
+    kc = _chunk(tk)
+    # delta_i = sum_d dO_i O_i: a cheap fused elementwise reduce in XLA.
+    delta = jnp.transpose(
+        jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1),
+        (0, 2, 1),
+    )  # (B, H, Tq) fp32
+
+    q_spec = pl.BlockSpec(
+        (1, qc, hb, d), lambda b, hb_, c, c2: (b, c, hb_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, hb, qc), lambda b, hb_, c, c2: (b, hb_, c),
+        memory_space=pltpu.VMEM,
+    )
+    kv_seq_spec = pl.BlockSpec(
+        (1, kc, hb, d), lambda b, hb_, c, c2: (b, c2, hb_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq_spec = pl.BlockSpec(
+        (1, hb, qc, d), lambda b, hb_, c, c2: (b, hb_, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, h_block=hb),
+        grid=(b, h // hb, tq // qc, tk // kc),
+        in_specs=[q_spec, kv_seq_spec, kv_seq_spec, q_spec, row_spec, row_spec],
+        out_specs=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g)
-    return dq, dk, dv
+    )(q, k, v, g, lse, delta)
+
+    q_seq_spec = pl.BlockSpec(
+        (1, qc, hb, d), lambda b, hb_, c, c2: (b, c2, hb_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_seq_spec = pl.BlockSpec(
+        (1, hb, qc), lambda b, hb_, c, c2: (b, hb_, c2),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, kc, hb, d), lambda b, hb_, c, c2: (b, c, hb_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dkv_spec = pl.BlockSpec(
+        (1, hb, kc, d), lambda b, hb_, c, c2: (b, hb_, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, h_block=hb),
+        grid=(b, h // hb, tk // kc, tq // qc),
+        in_specs=[q_seq_spec, kv_spec, kv_spec, q_seq_spec, row_seq_spec,
+                  row_seq_spec],
+        out_specs=[dkv_spec, dkv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    return (_to_bthd(dq).astype(q.dtype),
+            _to_bthd(dk).astype(k.dtype),
+            _to_bthd(dv).astype(v.dtype))
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
