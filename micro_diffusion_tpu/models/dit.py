@@ -281,11 +281,22 @@ class DiT(nn.Module):
         )
 
         if self.remat:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if self.remat_policy == "dots"
-                else None
-            )
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat_policy == "dots_attn_moe":
+                # 'dots' misses two recompute-heavy hot spots: pallas attention
+                # outputs (custom calls are never dot-saveable) and the EC-MoE
+                # expert einsums (batched over the expert dim, so excluded by
+                # no_batch_dims). Save those by name too - the values are tagged
+                # via checkpoint_name in ops/attention.py and models/layers.py.
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_out", "moe_out"
+                    ),
+                )
+            else:
+                policy = None
             block_cls = nn.remat(DiTBlock, policy=policy)
         else:
             block_cls = DiTBlock

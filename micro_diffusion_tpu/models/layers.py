@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from ..ops.attention import dot_product_attention
@@ -240,9 +241,17 @@ class FeedForwardECMoe(nn.Module):
         # bf16 matmul outputs: the MXU accumulates fp32 internally either way, and
         # bf16 outputs keep the dots-remat-saved tensors half the size with no
         # fp32->bf16 convert chains (the reference's torch einsum is bf16-out too).
-        h = jnp.einsum("emd,edf->emf", xin, w1)
-        h = nn.gelu(h.astype(jnp.float32), approximate=False).astype(h.dtype)
-        h = jnp.einsum("emf,efd->emd", h, w2)  # (e, n*k, d)
+        #
+        # The expert dim is UNROLLED into 2-D dots: XLA:TPU emits the batched
+        # "emd,edf->emf" einsum through its convolution batch-in-sublanes emitter
+        # (~2.1M estimated cycles per dot in the stage-4 HLO - ~29x off MXU-ideal
+        # for the same FLOPs); e static 2-D dots of (n*k, d) @ (d, f) tile cleanly.
+        def expert_ffn(xe, w1e, w2e):
+            he = jnp.dot(xe, w1e)  # (n*k, f) bf16
+            he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
+            return jnp.dot(he, w2e)  # (n*k, d)
+
+        h = jnp.stack([expert_ffn(xin[i], w1[i], w2[i]) for i in range(e)])
 
         gt = jnp.swapaxes(g, 0, 1).reshape(e, n * k)  # (e, n*k)
         out = h * gt[..., None]
@@ -254,7 +263,9 @@ class FeedForwardECMoe(nn.Module):
             .at[gidx.reshape(-1)]
             .add(out.reshape(-1, d))
         )
-        return out_flat.reshape(n, t, d)
+        # named for the 'dots_attn_moe' remat policy: the expert einsums are
+        # batched over e, so dots_with_no_batch_dims never saves them
+        return checkpoint_name(out_flat.reshape(n, t, d), "moe_out")
 
 
 # --------------------------------------------------------------------------------------

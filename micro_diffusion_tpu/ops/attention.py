@@ -16,17 +16,20 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _default_impl() -> str:
     """'auto' | 'xla' | 'pallas', read per-call so tests/benchmarks can flip the
     backend. MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode.
 
-    'auto' (default): the Pallas flash kernel on TPU for sequences >= 256, XLA
-    below. Measured head-to-head (fwd+bwd, one v5e chip, round 2): at T=1024
-    flash-bh is 2.3-2.6x XLA (2.92 vs 6.84 ms at b8h16); at T=256 it wins 1.5x
-    at b16h16 and ties at b64h12; at T=64 XLA wins (2.04 vs 2.30 ms), so the
-    crossover sits at 256."""
+    'auto' (default): the Pallas flash kernel on TPU for sequences >= 512, XLA
+    below. Isolated fwd+bwd micro-benches say flash-bh wins from T=256 up
+    (2.3-2.6x XLA at T=1024, 1.5x at T=256/b16h16) - but inside the full train
+    step T=256 flash REGRESSES the step (-16% stage 2, -8% stage 3, measured
+    round 2): below the crossover XLA fuses the attention einsums with
+    neighboring ops, which the custom-call boundary forfeits. Trust the
+    in-step numbers; the crossover sits between 256 and 512."""
     return os.environ.get("MDT_ATTENTION_IMPL", "auto")
 
 
@@ -62,9 +65,15 @@ def dot_product_attention(
     impl = impl or _default_impl()
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    return checkpoint_name(
+        _dispatch(q, k, v, scale=scale, impl=impl), "attn_out"
+    )
+
+
+def _dispatch(q, k, v, *, scale, impl):
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 256) else "xla"
+        impl = "pallas" if (on_tpu and q.shape[1] >= 512) else "xla"
     if impl == "pallas":
         interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
         # 'bh' (default): (B*H,T,D) whole-K kernel - fastest measured variant at

@@ -291,6 +291,30 @@ def run_matmul_peak(args):
     emit({"kind": "matmul_peak", **results})
 
 
+def dump_hlo(args):
+    """Write the OPTIMIZED HLO of the jit'd train step to a file (chipless AOT
+    compile) - for tracking profiler top-ops back to source (metadata op_name)."""
+    res, mask = STAGES[args.stage]
+    model, params, rng = build(args.stage, args.remat, args.mb)
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    tx = build_optimizer(
+        params, sched, clip_norm=0.25,
+        mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None,
+        low_precision_moments=(args.nu == "bf16"),
+    )
+    state = create_train_state(params, tx)
+    del params
+    batch = make_batch(args.mb, res)
+    step_fn = jax.jit(make_train_step(model, tx, sched, microbatch_size=None),
+                      donate_argnums=(0,))
+    txt = step_fn.lower(state, batch, rng).compile().as_text()
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        f"hlo_{args.stage}_{args.remat}_{args.mb}.txt")
+    with open(path, "w") as f:
+        f.write(txt)
+    log(f"wrote {path} ({len(txt) / 1e6:.1f} MB)")
+
+
 def run(args):
     res, mask = STAGES[args.stage]
     model, params, rng = build(args.stage, args.remat, args.mb)
@@ -379,7 +403,7 @@ def run(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="res256_mask75", choices=sorted(STAGES))
-    p.add_argument("--remat", default="full", choices=["full", "dots", "none"])
+    p.add_argument("--remat", default="full", choices=["full", "dots", "dots_attn_moe", "none"])
     p.add_argument("--mb", type=int, default=64)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
@@ -395,6 +419,8 @@ def main():
                    help="jax.profiler trace + xplane op summary")
     p.add_argument("--inner", type=int, default=0,
                    help="time K chained steps inside one jit (device-only time)")
+    p.add_argument("--dump-hlo", action="store_true",
+                   help="write optimized train-step HLO to hlo_<cfg>.txt (chipless)")
     args = p.parse_args()
     if args.fwd_flops:
         measure_fwd_flops(args.stage)
@@ -403,7 +429,9 @@ def main():
         run_matmul_peak(args)
         return
     try:
-        if args.profile:
+        if args.dump_hlo:
+            dump_hlo(args)
+        elif args.profile:
             run_profile(args)
         elif args.breakdown:
             run_breakdown(args)
