@@ -57,19 +57,22 @@ STAGE_FWD_GFLOPS = {
 def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
     return STAGE_FWD_GFLOPS[(latent_res, mask_ratio)]
 
-# (name, latent_res, mask_ratio, schedule_steps, config ladder of (remat_policy, mb)).
-# Ladders start at the measured-best config (PERF.md) and fall back on compile/OOM
-# failures (the environment's remote compile helper intermittently 500s on large
-# graphs; every ladder ends with small known-good configs).
+# (name, latent_res, mask_ratio, schedule_steps, config ladder of
+# (remat_policy, mb[, moe_dispatch])). Ladders start at the measured-best config
+# (PERF.md) and fall back on compile/OOM failures (the environment's remote compile
+# helper 500s on OOM and on very large graphs; every ladder ends with small
+# known-good configs). moe_dispatch 'batched' (the 3-D einsum form) has the lowest
+# peak HBM but slower expert dots - it is the 512px mask-0 fallback (PERF.md).
 STAGES = [
     ("res256_mask75", 32, 0.75, 250_000,
-     (("full", 64), ("full", 32), ("full", 16))),
+     (("dots_attn_moe", 64), ("full", 64), ("full", 32), ("full", 16))),
     ("res256_mask0", 32, 0.0, 30_000,
-     (("dots", 16), ("full", 32), ("full", 16), ("full", 8))),
+     (("dots_attn_moe", 16), ("dots", 16), ("full", 16), ("full", 8))),
     ("res512_mask75", 64, 0.75, 50_000,
-     (("dots", 16), ("full", 16), ("full", 8), ("full", 4))),
+     (("dots_attn_moe", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
-     (("full", 8), ("full", 4), ("full", 2))),
+     (("dots_lean", 8), ("dots_attn_moe", 8, "batched"), ("full", 8),
+      ("full", 4), ("full", 2))),
 ]
 
 
@@ -100,7 +103,10 @@ def fast_params(model, rng):
 
 
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
-    for policy, mb in config_ladder:
+    for cfg in config_ladder:
+        policy, mb = cfg[0], cfg[1]
+        # MoE dispatch mode is read at trace time (models/layers.py).
+        os.environ["MDT_MOE_DISPATCH"] = cfg[2] if len(cfg) > 2 else "unroll"
         dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy)
         model = LatentDiffusion(
             dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio,
@@ -111,9 +117,11 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
         params = fast_params(model, rng)
 
         sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
-        # bf16 first moment: memory lever to fit AdamW for 1.16B params in one chip's
-        # HBM; the multi-chip recipe shards optimizer state instead (parallel/).
-        tx = build_optimizer(params, sched, clip_norm=0.25, mu_dtype=jnp.bfloat16)
+        # bf16 moments (fp32 update math): memory + HBM-traffic lever to fit AdamW
+        # for 1.16B params in one chip's HBM; the multi-chip recipe shards optimizer
+        # state instead (parallel/). Measured-best across all stages (PERF.md).
+        tx = build_optimizer(params, sched, clip_norm=0.25,
+                             low_precision_moments=True)
         state = create_train_state(params, tx)
         del params
 

@@ -93,6 +93,8 @@ class DiTBlock(nn.Module):
     moe_block: bool
     num_experts: int
     expert_capacity: float
+    moe_remat_experts: bool = False
+    ffn_remat_hidden: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -155,6 +157,7 @@ class DiTBlock(nn.Module):
                 hidden_dim=mlp_hidden,
                 multiple_of=self.multiple_of,
                 w2_init=normal_init(init_std),
+                remat_experts=self.moe_remat_experts,
                 dtype=self.dtype,
                 name="mlp",
             )(h)
@@ -167,6 +170,7 @@ class DiTBlock(nn.Module):
                 w1_init=normal_init(0.02),
                 w2_init=normal_init(init_std),
                 w3_init=normal_init(init_std),
+                remat_hidden=self.ffn_remat_hidden,
                 dtype=self.dtype,
                 name="mlp",
             )(h)
@@ -219,6 +223,11 @@ class DiT(nn.Module):
     # 'full'  - recompute everything in the block (min memory, +1 fwd of FLOPs)
     # 'dots'  - save matmul outputs, recompute elementwise only (near-zero extra MXU
     #           FLOPs, moderate memory) - usually the best TPU throughput point
+    # 'dots_attn_moe' - 'dots' plus the pallas attention outputs and the EC-MoE
+    #           block outputs (saved by name; both are custom-call/scatter results
+    #           that no dot-based policy catches) - best measured at every stage
+    # '<any>_lean' - same, but the per-expert MoE hidden dots stay remat-only
+    #           (~117MB/MoE block saved at 512px mask-0 mb8; required to fit there)
     remat_policy: str = "full"
 
     @property
@@ -280,10 +289,22 @@ class DiT(nn.Module):
             dtype=self.dtype,
         )
 
+        # '<policy>_lean' variants additionally recompute the per-expert MoE hidden
+        # activations in the backward pass (see FeedForwardECMoe.remat_experts);
+        # '<policy>_xlean' also recomputes the dense SwiGLU hiddens
+        # (FeedForward.remat_hidden). Needed at 512px mask-0, where saving these
+        # exceeds one chip's HBM.
+        base_policy = self.remat_policy
+        ffn_lean = base_policy.endswith("_xlean")
+        if ffn_lean:
+            base_policy = base_policy[: -len("_xlean")]
+        moe_lean = ffn_lean or base_policy.endswith("_lean")
+        if base_policy.endswith("_lean"):
+            base_policy = base_policy[: -len("_lean")]
         if self.remat:
-            if self.remat_policy == "dots":
+            if base_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            elif self.remat_policy == "dots_attn_moe":
+            elif base_policy == "dots_attn_moe":
                 # 'dots' misses two recompute-heavy hot spots: pallas attention
                 # outputs (custom calls are never dot-saveable) and the EC-MoE
                 # expert einsums (batched over the expert dim, so excluded by
@@ -321,6 +342,8 @@ class DiT(nn.Module):
                     moe_block=mixer_moe[i],
                     num_experts=self.num_experts,
                     expert_capacity=self.expert_capacity,
+                    moe_remat_experts=moe_lean,
+                    ffn_remat_hidden=ffn_lean,
                     dtype=self.dtype,
                     name=f"patch_mixer_{i}",
                 )
@@ -363,6 +386,8 @@ class DiT(nn.Module):
                 moe_block=backbone_moe[i],
                 num_experts=self.num_experts,
                 expert_capacity=self.expert_capacity,
+                moe_remat_experts=moe_lean,
+                ffn_remat_hidden=ffn_lean,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -12,6 +12,7 @@ initializers of the same std.
 """
 
 import math
+import os
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -165,6 +166,10 @@ class FeedForward(nn.Module):
     w2_init: Initializer = xavier_uniform
     w3_init: Initializer = xavier_uniform
     dtype: Any = jnp.bfloat16
+    # Recompute the two hidden-width activations (w1/w2 dot outputs) in the
+    # backward pass even under a dots-saveable outer remat policy: ~88MB per
+    # dense block at 512px mask-0 mb8. Enabled by the '*_xlean' remat policies.
+    remat_hidden: bool = False
 
     @staticmethod
     def rounded_hidden(hidden_dim: int, multiple_of: int) -> int:
@@ -178,9 +183,23 @@ class FeedForward(nn.Module):
             f, use_bias=self.use_bias, kernel_init=init, bias_init=zeros_init,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
-        gate = dense(hidden, self.w1_init, "w1")(x)
-        up = dense(hidden, self.w2_init, "w2")(x)
-        return dense(self.dim, self.w3_init, "w3")(nn.silu(gate) * up)
+
+        def _hidden(mdl, xx):
+            del mdl  # bound-method form for the flax lifted transform
+            gate = dense(hidden, self.w1_init, "w1")(xx)
+            up = dense(hidden, self.w2_init, "w2")(xx)
+            return nn.silu(gate) * up
+
+        if self.remat_hidden:
+            # Lifted method transform: parameter names/shapes are unchanged,
+            # only the saved-residual set shrinks (w3's input is recomputed
+            # from x in the backward pass).
+            h = nn.remat(
+                _hidden, policy=jax.checkpoint_policies.nothing_saveable
+            )(self, x)
+        else:
+            h = _hidden(self, x)
+        return dense(self.dim, self.w3_init, "w3")(h)
 
 
 class FeedForwardECMoe(nn.Module):
@@ -201,6 +220,12 @@ class FeedForwardECMoe(nn.Module):
     multiple_of: int
     w2_init: Initializer = xavier_uniform
     dtype: Any = jnp.bfloat16
+    # Recompute the per-expert hidden activations in the backward pass instead of
+    # letting a dots-saveable outer remat policy store them. The unrolled 2-D
+    # expert dots ARE dot_with_no_batch_dims-saveable, which costs
+    # ~e * 2T * ffn_hidden bf16 per MoE block (~117MB/block at 512px mask-0 mb8 —
+    # 2GB over one v5e chip's HBM). Enabled by the '*_lean' remat policies.
+    remat_experts: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -251,7 +276,32 @@ class FeedForwardECMoe(nn.Module):
             he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
             return jnp.dot(he, w2e)  # (n*k, d)
 
-        h = jnp.stack([expert_ffn(xin[i], w1[i], w2[i]) for i in range(e)])
+        if self.remat_experts:
+            # Inner checkpoint: the expert dots become non-saveable for ANY outer
+            # remat policy; backward recomputes w1-dot + gelu once per expert.
+            expert_ffn = jax.checkpoint(
+                expert_ffn, policy=jax.checkpoint_policies.nothing_saveable
+            )
+
+        dispatch = os.environ.get("MDT_MOE_DISPATCH", "unroll")
+        if dispatch == "scan":
+            # same 2-D dots inside a lax.map body: ~8x smaller HLO for compile
+            # helpers that crash on the fully unrolled graph; ~same device time
+            # (the expert dots are serial on one core either way)
+            h = jax.lax.map(
+                lambda ops: expert_ffn(*ops), (xin, w1, w2)
+            )
+        elif dispatch == "batched":
+            # single 3-D batched dots: goes through XLA:TPU's conv
+            # batch-in-sublanes emitter (slower on the MXU) but produces the
+            # lowest-peak-HBM update graph - the per-expert slice/stack form
+            # makes XLA insert layout-change copies of the expert-weight grads
+            # and optimizer moments (~50MB per MoE weight, OOMs 512px mask-0).
+            he = jnp.einsum("emd,edf->emf", xin, w1)
+            he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
+            h = jnp.einsum("emf,efd->emd", he, w2)
+        else:
+            h = jnp.stack([expert_ffn(xin[i], w1[i], w2[i]) for i in range(e)])
 
         gt = jnp.swapaxes(g, 0, 1).reshape(e, n * k)  # (e, n*k)
         out = h * gt[..., None]

@@ -247,3 +247,29 @@ def test_mask_determinism_and_rng():
     np.testing.assert_array_equal(np.asarray(o1["mask"]), np.asarray(o2["mask"]))
     o3 = run(model, params, x, t, y, mask_ratio=0.75, mask_rng=jax.random.PRNGKey(6))
     assert not np.array_equal(np.asarray(o1["mask"]), np.asarray(o3["mask"]))
+
+
+@pytest.mark.parametrize("policy", ["dots", "dots_attn_moe", "dots_attn_moe_lean", "dots_attn_moe_xlean"])
+def test_remat_policies_match_no_remat(policy):
+    """Every remat policy (including the '_lean' MoE-hidden-recompute variants,
+    needed to fit 512px mask-0 on one 16GB chip) is loss- and grad-identical to
+    the unrematerialized model."""
+    base = micro_dit()
+    params, (x, t, y) = init_model(base)
+    x = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+
+    def make_loss(model):
+        def loss(p):
+            out = model.apply(p, x, t, y)
+            return jnp.sum(jnp.sin(out["sample"]))
+        return loss
+
+    l0 = jax.jit(make_loss(base))(params)
+    g0 = jax.jit(jax.grad(make_loss(base)))(params)
+    rem = micro_dit(remat=True, remat_policy=policy)
+    l1 = jax.jit(make_loss(rem))(params)
+    g1 = jax.jit(jax.grad(make_loss(rem)))(params)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -5,6 +5,7 @@ the gate probabilities."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from micro_diffusion_tpu.models.layers import FeedForwardECMoe
 
@@ -70,6 +71,36 @@ def test_moe_gradients_match_onehot():
     g_ref = jax.jit(jax.grad(loss_ref))(params, x)
     for a, b in zip(jax.tree.leaves(g_ours), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("alt", ["scan", "batched"])
+def test_moe_dispatch_variants_match_unroll(monkeypatch, alt):
+    """MDT_MOE_DISPATCH=scan (lax.map over experts) and =batched (3-D einsum,
+    lowest-peak-HBM update graph) match the default unrolled per-expert dots,
+    forward and gradient. scan/unroll are bit-identical; batched differs only by
+    fp32-accumulation association order."""
+    moe = make_moe()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    params = jax.jit(lambda: moe.init(jax.random.PRNGKey(1), x))()
+    params = jax.tree.map(lambda p: p * 10.0 if p.ndim >= 2 else p, params)
+
+    def loss(pr, xx):
+        return jnp.sum(jnp.sin(moe.apply(pr, xx)))
+
+    monkeypatch.setenv("MDT_MOE_DISPATCH", "unroll")
+    y_unroll = jax.jit(moe.apply)(params, x)
+    g_unroll = jax.jit(jax.grad(loss))(params, x)
+    monkeypatch.setenv("MDT_MOE_DISPATCH", alt)
+    y_alt = jax.jit(moe.apply)(params, x)
+    g_alt = jax.jit(jax.grad(loss))(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(y_unroll), np.asarray(y_alt), rtol=1e-6, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(g_unroll), jax.tree.leaves(g_alt)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_moe_capacity_token_count():
