@@ -184,22 +184,32 @@ class FeedForward(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
 
-        def _hidden(mdl, xx):
-            del mdl  # bound-method form for the flax lifted transform
-            gate = dense(hidden, self.w1_init, "w1")(xx)
-            up = dense(hidden, self.w2_init, "w2")(xx)
-            return nn.silu(gate) * up
-
+        gate = dense(hidden, self.w1_init, "w1")(x)
+        up = dense(hidden, self.w2_init, "w2")(x)
         if self.remat_hidden:
-            # Lifted method transform: parameter names/shapes are unchanged,
-            # only the saved-residual set shrinks (w3's input is recomputed
-            # from x in the backward pass).
-            h = nn.remat(
-                _hidden, policy=jax.checkpoint_policies.nothing_saveable
-            )(self, x)
-        else:
-            h = _hidden(self, x)
-        return dense(self.dim, self.w3_init, "w3")(h)
+            # Hide the hidden-width activations from dot-saveable remat policies
+            # by giving the w1/w2 dots a size-1 batch dimension at the jaxpr
+            # level: dots_with_no_batch_dims_saveable then skips them, and XLA's
+            # algebraic simplifier collapses the dummy batch before codegen.
+            # (An inner jax.checkpoint(nothing_saveable) does NOT work here:
+            # nested-remat residuals are re-exported as remat2 outputs, which the
+            # outer block remat saves - measured no peak-HBM change; and the
+            # hidden-width silu(gate)*up would be its boundary output anyway.)
+            w1k = self.variables["params"]["w1"]["kernel"].astype(self.dtype)
+            w2k = self.variables["params"]["w2"]["kernel"].astype(self.dtype)
+            xb = x[None]
+            gate = jax.lax.dot_general(
+                xb, w1k[None],
+                (((xb.ndim - 1,), (1,)), ((0,), (0,))),
+            )[0]
+            up = jax.lax.dot_general(
+                xb, w2k[None],
+                (((xb.ndim - 1,), (1,)), ((0,), (0,))),
+            )[0]
+            if self.use_bias:
+                gate = gate + self.variables["params"]["w1"]["bias"].astype(self.dtype)
+                up = up + self.variables["params"]["w2"]["bias"].astype(self.dtype)
+        return dense(self.dim, self.w3_init, "w3")(nn.silu(gate) * up)
 
 
 class FeedForwardECMoe(nn.Module):
@@ -271,17 +281,24 @@ class FeedForwardECMoe(nn.Module):
         # "emd,edf->emf" einsum through its convolution batch-in-sublanes emitter
         # (~2.1M estimated cycles per dot in the stage-4 HLO - ~29x off MXU-ideal
         # for the same FLOPs); e static 2-D dots of (n*k, d) @ (d, f) tile cleanly.
-        def expert_ffn(xe, w1e, w2e):
-            he = jnp.dot(xe, w1e)  # (n*k, f) bf16
-            he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
-            return jnp.dot(he, w2e)  # (n*k, d)
+        def _dot2(a, b):
+            if self.remat_experts:
+                # Size-1 batch dim at the jaxpr level: dot-saveable remat
+                # policies (dots_with_no_batch_dims) skip the expert dots, so
+                # the (e, n*k, f) hiddens stay remat-only (~117MB per MoE block
+                # at 512px mask-0 mb8); XLA's simplifier collapses the dummy
+                # batch before codegen. An inner jax.checkpoint does NOT work:
+                # nested-remat residuals are re-exported and saved by the outer
+                # block remat (see FeedForward.remat_hidden).
+                return jax.lax.dot_general(
+                    a[None], b[None], (((a.ndim,), (1,)), ((0,), (0,)))
+                )[0]
+            return jnp.dot(a, b)
 
-        if self.remat_experts:
-            # Inner checkpoint: the expert dots become non-saveable for ANY outer
-            # remat policy; backward recomputes w1-dot + gelu once per expert.
-            expert_ffn = jax.checkpoint(
-                expert_ffn, policy=jax.checkpoint_policies.nothing_saveable
-            )
+        def expert_ffn(xe, w1e, w2e):
+            he = _dot2(xe, w1e)  # (n*k, f) bf16
+            he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
+            return _dot2(he, w2e)  # (n*k, d)
 
         dispatch = os.environ.get("MDT_MOE_DISPATCH", "unroll")
         if dispatch == "scan":
