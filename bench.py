@@ -65,12 +65,14 @@ def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
 # peak HBM but slower expert dots - it is the 512px mask-0 fallback (PERF.md).
 STAGES = [
     ("res256_mask75", 32, 0.75, 250_000,
-     (("dots_attn_moe", 64), ("dots", 64), ("full", 64), ("full", 32),
-      ("full", 16))),
+     (("dots_attn_moe", 64), ("dots_attn_moe_xlean", 64), ("dots", 64),
+      ("full", 64), ("full", 32), ("full", 16))),
     ("res256_mask0", 32, 0.0, 30_000,
-     (("dots_attn_moe", 16), ("dots", 16), ("full", 16), ("full", 8))),
+     (("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
+      ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
     ("res512_mask75", 64, 0.75, 50_000,
-     (("dots_attn_moe", 16), ("dots", 16), ("full", 8), ("full", 4))),
+     (("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
+      ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
      # measured: batched mb8 21.4 img/s > xlean-unroll mb8 20.7 (the per-expert
      # hidden/FFN recompute outweighs the unroll's faster dots at this stage);
@@ -107,10 +109,12 @@ def fast_params(model, rng):
 
 
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
-    # Each rung is tried twice: the remote compiler's memory scheduling is
-    # nondeterministic, so a config at the HBM margin can OOM-at-compile on one
-    # attempt and fit on the next (observed for the stage-1 best config).
-    for cfg in [c for c in config_ladder for _ in range(2)]:
+    # NOTE: compile-time OOM projections are deterministic per compile-service
+    # instance, but DIFFER across service restarts (the stage-1 best config
+    # compiled and ran under one instance and was 680MB over HBM under the
+    # next). The ladder is ordered by measured throughput; the first config
+    # that compiles under the current service wins.
+    for cfg in config_ladder:
         policy, mb = cfg[0], cfg[1]
         # MoE dispatch mode is read at trace time (models/layers.py).
         os.environ["MDT_MOE_DISPATCH"] = cfg[2] if len(cfg) > 2 else "unroll"
