@@ -16,6 +16,7 @@ Env:
   MDT_BENCH_STEPS=N   -> timed steps per stage (default 10)
 """
 
+import gc
 import json
 import os
 import sys
@@ -112,6 +113,62 @@ def fast_params(model, rng):
     return jax.tree_util.tree_unflatten(treedef, init_leaves(rng))
 
 
+def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps):
+    """One ladder rung: build state, compile, time. Everything is local so a
+    failure frees its device buffers when the frame dies (see bench_stage)."""
+    dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy)
+    model = LatentDiffusion(
+        dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio,
+        latent_scale=1.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    log(f"[{name}] creating XL params (remat={policy}, mb={mb})...")
+    params = fast_params(model, rng)
+
+    sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
+    # bf16 moments (fp32 update math): memory + HBM-traffic lever to fit AdamW
+    # for 1.16B params in one chip's HBM; the multi-chip recipe shards optimizer
+    # state instead (parallel/). Measured-best across all stages (PERF.md).
+    tx = build_optimizer(params, sched, clip_norm=0.25,
+                         low_precision_moments=True)
+    state = create_train_state(params, tx)
+    del params
+
+    step_fn = jax.jit(
+        make_train_step(model, tx, sched, microbatch_size=None),
+        donate_argnums=(0,),
+    )
+    batch = {
+        "image_latents": jax.random.normal(
+            jax.random.PRNGKey(1), (mb, 4, latent_res, latent_res)
+        ),
+        "caption_latents": jax.random.normal(
+            jax.random.PRNGKey(2), (mb, 1, 77, 1024)
+        ),
+        "drop_caption_mask": jnp.ones((mb,)),
+    }
+    t0 = time.time()
+    state, metrics = step_fn(state, batch, rng)
+    # NOTE: through the axon relay, block_until_ready can return before the
+    # computation finishes; a scalar VALUE fetch is the only reliable barrier.
+    float(metrics["loss"])
+    log(f"[{name}] compile+first step: {time.time() - t0:.0f}s")
+    state, metrics = step_fn(state, batch, rng)  # warmup
+    float(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(timed_steps):
+        state, metrics = step_fn(state, batch, rng)
+    final_loss = float(metrics["loss"])  # forces the whole step chain
+    dt = (time.time() - t0) / timed_steps
+    img_s = mb / dt
+    log(
+        f"[{name}] remat={policy} microbatch {mb}: {dt * 1e3:.1f} ms/step = "
+        f"{img_s:.1f} img/s/chip (loss {final_loss:.4f})"
+    )
+    return img_s, mb
+
+
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
     # NOTE: compile-time OOM projections are deterministic per compile-service
     # instance, but DIFFER across service restarts (the stage-1 best config
@@ -122,61 +179,14 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
         policy, mb = cfg[0], cfg[1]
         # MoE dispatch mode is read at trace time (models/layers.py).
         os.environ["MDT_MOE_DISPATCH"] = cfg[2] if len(cfg) > 2 else "unroll"
-        dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy)
-        model = LatentDiffusion(
-            dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio,
-            latent_scale=1.0,
-        )
-        rng = jax.random.PRNGKey(0)
-        log(f"[{name}] creating XL params (remat={policy}, mb={mb})...")
-        params = fast_params(model, rng)
-
-        sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
-        # bf16 moments (fp32 update math): memory + HBM-traffic lever to fit AdamW
-        # for 1.16B params in one chip's HBM; the multi-chip recipe shards optimizer
-        # state instead (parallel/). Measured-best across all stages (PERF.md).
-        tx = build_optimizer(params, sched, clip_norm=0.25,
-                             low_precision_moments=True)
-        state = create_train_state(params, tx)
-        del params
-
-        step_fn = jax.jit(
-            make_train_step(model, tx, sched, microbatch_size=None),
-            donate_argnums=(0,),
-        )
-        batch = {
-            "image_latents": jax.random.normal(
-                jax.random.PRNGKey(1), (mb, 4, latent_res, latent_res)
-            ),
-            "caption_latents": jax.random.normal(
-                jax.random.PRNGKey(2), (mb, 1, 77, 1024)
-            ),
-            "drop_caption_mask": jnp.ones((mb,)),
-        }
         try:
-            t0 = time.time()
-            state2, metrics = step_fn(state, batch, rng)
-            # NOTE: through the axon relay, block_until_ready can return before the
-            # computation finishes; a scalar VALUE fetch is the only reliable barrier.
-            loss0 = float(metrics["loss"])
-            log(f"[{name}] compile+first step: {time.time() - t0:.0f}s")
-            state2, metrics = step_fn(state2, batch, rng)  # warmup
-            float(metrics["loss"])
-
-            t0 = time.time()
-            for _ in range(timed_steps):
-                state2, metrics = step_fn(state2, batch, rng)
-            final_loss = float(metrics["loss"])  # forces the whole step chain
-            dt = (time.time() - t0) / timed_steps
-            img_s = mb / dt
-            log(
-                f"[{name}] remat={policy} microbatch {mb}: {dt * 1e3:.1f} ms/step = "
-                f"{img_s:.1f} img/s/chip (loss {final_loss:.4f})"
-            )
-            return img_s, mb
-        except Exception as e:  # OOM or flaky remote-compile 500 -> next config
+            return _run_config(name, latent_res, mask_ratio, policy, mb,
+                               timed_steps)
+        except Exception as e:  # OOM / remote-compile 500 -> next config
             log(f"[{name}] config (remat={policy}, mb={mb}) failed: {str(e)[:120]}")
-            continue
+        # A failed rung's 9GB of params/opt-state must be off the chip before
+        # the next rung allocates: drop the exception frame refs and collect.
+        gc.collect()
     raise RuntimeError(f"{name}: all configs failed")
 
 
@@ -184,6 +194,10 @@ def main():
     quick = os.environ.get("MDT_BENCH_QUICK") == "1"
     timed_steps = int(os.environ.get("MDT_BENCH_STEPS", "10"))
     stages = STAGES[:1] if quick else STAGES
+    only = os.environ.get("MDT_BENCH_STAGES")  # csv filter, e.g. "res512_mask75"
+    if only:
+        keep = set(only.split(","))
+        stages = [s for s in stages if s[0] in keep]
 
     results = {}
     for name, res, mask, steps, ladder in stages:
