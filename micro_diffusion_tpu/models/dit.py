@@ -304,6 +304,14 @@ class DiT(nn.Module):
         if self.remat:
             if base_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif base_policy == "attn_moe":
+                # Save ONLY the named attention/EC-MoE block outputs: nearly
+                # full-remat memory, but the backward skips re-running the two
+                # most DMA-heavy subgraphs (the MoE dispatch gathers and the
+                # attention chains) - the stage-1 profile is copy/DMA-bound.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "moe_out"
+                )
             elif base_policy == "dots_attn_moe":
                 # 'dots' misses two recompute-heavy hot spots: pallas attention
                 # outputs (custom calls are never dot-saveable) and the EC-MoE

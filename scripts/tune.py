@@ -404,7 +404,7 @@ def run(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="res256_mask75", choices=sorted(STAGES))
-    p.add_argument("--remat", default="full", choices=["full", "dots", "dots_attn_moe", "dots_lean", "dots_attn_moe_lean", "dots_xlean", "dots_attn_moe_xlean", "none"])
+    p.add_argument("--remat", default="full", choices=["full", "dots", "dots_attn_moe", "dots_lean", "dots_attn_moe_lean", "dots_xlean", "dots_attn_moe_xlean", "attn_moe", "none"])
     p.add_argument("--mb", type=int, default=64)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],

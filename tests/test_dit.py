@@ -249,7 +249,7 @@ def test_mask_determinism_and_rng():
     assert not np.array_equal(np.asarray(o1["mask"]), np.asarray(o3["mask"]))
 
 
-@pytest.mark.parametrize("policy", ["dots", "dots_attn_moe", "dots_attn_moe_lean", "dots_attn_moe_xlean"])
+@pytest.mark.parametrize("policy", ["dots", "attn_moe", "dots_attn_moe", "dots_attn_moe_lean", "dots_attn_moe_xlean"])
 def test_remat_policies_match_no_remat(policy):
     """Every remat policy (including the '_lean' MoE-hidden-recompute variants,
     needed to fit 512px mask-0 on one 16GB chip) is loss- and grad-identical to
