@@ -65,11 +65,11 @@ def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
 # known-good configs). moe_dispatch 'batched' (the 3-D einsum form) has the lowest
 # peak HBM but slower expert dots - it is the 512px mask-0 fallback (PERF.md).
 STAGES = [
-    # measured (current service epoch): full mb128 170.5 > dots_attn_moe mb64
-    # 168.4 (service-dependent fit) > dots mb64 167.1 (ditto) > lean mb64 160.5
-    # > xlean mb64 159.1
+    # measured (current service epoch): attn_moe mb128 174.3 > full mb128 170.5
+    # > dots_attn_moe mb64 168.4 (service-dependent fit) > dots mb64 167.1
+    # (ditto) > lean mb64 160.5 > xlean mb64 159.1
     ("res256_mask75", 32, 0.75, 250_000,
-     (("full", 128), ("dots_attn_moe", 64), ("dots", 64),
+     (("attn_moe", 128), ("full", 128), ("dots_attn_moe", 64), ("dots", 64),
       ("dots_attn_moe_lean", 64), ("dots_attn_moe_xlean", 64), ("full", 64),
       ("full", 32), ("full", 16))),
     ("res256_mask0", 32, 0.0, 30_000,
