@@ -72,11 +72,15 @@ STAGES = [
      (("attn_moe", 128), ("full", 128), ("dots_attn_moe", 64), ("dots", 64),
       ("dots_attn_moe_lean", 64), ("dots_attn_moe_xlean", 64), ("full", 64),
       ("full", 32), ("full", 16))),
+    # attn_moe mb32 measured 84.7 = wash with dots_attn_moe mb16 (84.6): the
+    # full-remat recompute penalty cancels the bigger-batch amortization here
     ("res256_mask0", 32, 0.0, 30_000,
-     (("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
+     (("dots_attn_moe", 16), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
+    # attn_moe mb32 53.5 ~= lean mb16 53.4; dots_attn_moe mb16 measured 54.4
+    # under the previous service epoch, currently fails to fit
     ("res512_mask75", 64, 0.75, 50_000,
-     (("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
+     (("dots_attn_moe", 16), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
      # measured: batched mb8 21.4 img/s > xlean-unroll mb8 20.7 (the per-expert
