@@ -90,6 +90,11 @@ def flash_attention_bh(
 
 
 def _forward(q, k, v, scale, interpret):
+    out, _ = _forward_res(q, k, v, scale, interpret)
+    return out
+
+
+def _forward_res(q, k, v, scale, interpret):
     b, tq, h, d = q.shape
     tk = k.shape[1]
     if scale is None:
@@ -104,20 +109,23 @@ def _forward(q, k, v, scale, interpret):
         out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
         interpret=interpret,
     )(qh, kh, vh)
-    return _bh_to_bhtd(out, b, h)
+    return _bh_to_bhtd(out, b, h), (qh, kh, vh)
 
 
 def _fwd_rule(q, k, v, scale, interpret):
-    return _forward(q, k, v, scale, interpret), (q, k, v)
+    # Save the ALREADY-TRANSPOSED (B*H, T, D) tensors as residuals: the
+    # backward then skips 3 of its 4 input transposes (same residual bytes).
+    out, (qh, kh, vh) = _forward_res(q, k, v, scale, interpret)
+    return out, (qh, kh, vh, q.shape)
 
 
 def _bwd_rule(scale, interpret, res, g):
-    q, k, v = res
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
+    qh, kh, vh, q_shape = res
+    b, tq, h, d = q_shape
+    tk = kh.shape[1]
     if scale is None:
         scale = d**-0.5
-    qh, kh, vh, gh = map(_bhtd_to_bh, (q, k, v, g))
+    gh = _bhtd_to_bh(g)
     in_specs, _ = _specs(tq, tk, d)
     do_spec = pl.BlockSpec((1, tq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_specs = [
@@ -131,9 +139,9 @@ def _bwd_rule(scale, interpret, res, g):
         in_specs=in_specs + [do_spec],
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tk, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, tk, d), v.dtype),
+            jax.ShapeDtypeStruct((b * h, tq, d), qh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), kh.dtype),
+            jax.ShapeDtypeStruct((b * h, tk, d), vh.dtype),
         ],
         interpret=interpret,
     )(qh, kh, vh, gh)

@@ -108,3 +108,34 @@ def test_full_dit_forward_pallas_vs_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_pallas), np.asarray(out_xla), rtol=5e-5, atol=5e-5
     )
+
+
+@pytest.mark.parametrize("tq,tk,h", [(256, 256, 8), (1024, 77, 16)])
+def test_bh_variant_forward_matches_xla(tq, tk, h):
+    """The DEFAULT dispatch variant ((B*H,T,D) whole-K kernel) vs XLA."""
+    from micro_diffusion_tpu.ops.flash_attention_bh import flash_attention_bh
+
+    b, d = 2, 64
+    q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
+    ref = _xla_attention(q, k, v, d**-0.5)
+    out = jax.jit(lambda q, k, v: flash_attention_bh(q, k, v, None, True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_bh_variant_gradients_match_xla():
+    from micro_diffusion_tpu.ops.flash_attention_bh import flash_attention_bh
+
+    b, tq, tk, h, d = 2, 256, 256, 4, 64
+    q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_bh(q, k, v, None, True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, d**-0.5)))
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4)
