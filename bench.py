@@ -117,10 +117,12 @@ def fast_params(model, rng):
     return jax.tree_util.tree_unflatten(treedef, init_leaves(rng))
 
 
-def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps):
+def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
+                moe_dispatch="onehot"):
     """One ladder rung: build state, compile, time. Everything is local so a
     failure frees its device buffers when the frame dies (see bench_stage)."""
-    dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy)
+    dit = MicroDiT_XL_2(input_size=latent_res, remat=True, remat_policy=policy,
+                        moe_dispatch=moe_dispatch)
     model = LatentDiffusion(
         dit=dit, latent_res=latent_res, train_mask_ratio=mask_ratio,
         latent_scale=1.0,
@@ -181,11 +183,12 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
     # that compiles under the current service wins.
     for cfg in config_ladder:
         policy, mb = cfg[0], cfg[1]
-        # MoE dispatch mode is read at trace time (models/layers.py).
-        os.environ["MDT_MOE_DISPATCH"] = cfg[2] if len(cfg) > 2 else "unroll"
+        # MoE dispatch is a static module attribute (models/layers.py), passed
+        # through the factory - NOT an env var (round-2 advisor finding).
+        moe = cfg[2] if len(cfg) > 2 else "unroll"
         try:
             return _run_config(name, latent_res, mask_ratio, policy, mb,
-                               timed_steps)
+                               timed_steps, moe_dispatch=moe)
         except Exception as e:  # OOM / remote-compile 500 -> next config
             log(f"[{name}] config (remat={policy}, mb={mb}) failed: {str(e)[:120]}")
         # A failed rung's 9GB of params/opt-state must be off the chip before

@@ -15,6 +15,7 @@ TPU deviations from the reference (deliberate, documented):
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
@@ -53,6 +54,15 @@ def text_encoder_embedding_format(enc: str) -> tuple[int, int]:
         return 77, 1024
     if enc == "DeepFloyd/t5-v1_1-xxl":
         return 120, 4096
+    # Local HF CLIPTextModel snapshot (reference utils.py:465-469 accepts any HF
+    # name via CLIPTextModel.from_pretrained; offline, that means a local dir).
+    cfg_path = os.path.join(enc, "config.json")
+    if os.path.isdir(enc) and os.path.exists(cfg_path):
+        import json
+
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        return int(cfg.get("max_position_embeddings", 77)), int(cfg["hidden_size"])
     raise ValueError(
         f"Please specify the sequence and embedding size of {enc} encoder"
     )
@@ -422,6 +432,7 @@ def create_latent_diffusion(
     tokenizer_dir: Optional[str] = None,
     remat: bool = False,
     remat_policy: str = "full",
+    moe_dispatch: str = "onehot",
 ) -> LatentDiffusion:
     """Model factory with the reference signature (model.py:356-405).
 
@@ -448,6 +459,9 @@ def create_latent_diffusion(
         # from the yaml recipes' model block.
         remat=remat,
         remat_policy=remat_policy,
+        # EC-MoE dispatch implementation (static module attribute; see
+        # models/layers.py FeedForwardECMoe.dispatch for the variants)
+        moe_dispatch=moe_dispatch,
     )
 
     vae = text_encoder = tokenizer = None

@@ -95,6 +95,7 @@ class DiTBlock(nn.Module):
     expert_capacity: float
     moe_remat_experts: bool = False
     ffn_remat_hidden: bool = False
+    moe_dispatch: str = "onehot"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -158,6 +159,7 @@ class DiTBlock(nn.Module):
                 multiple_of=self.multiple_of,
                 w2_init=normal_init(init_std),
                 remat_experts=self.moe_remat_experts,
+                dispatch=self.moe_dispatch,
                 dtype=self.dtype,
                 name="mlp",
             )(h)
@@ -229,6 +231,13 @@ class DiT(nn.Module):
     # '<any>_lean' - same, but the per-expert MoE hidden dots stay remat-only
     #           (~117MB/MoE block saved at 512px mask-0 mb8; required to fit there)
     remat_policy: str = "full"
+    # EC-MoE dispatch/combine implementation (see FeedForwardECMoe.dispatch):
+    # 'onehot' (one-hot matmul dispatch + fused Pallas expert FFN, default),
+    # 'gather' (flat gather + fused Pallas FFN + scatter - the T=1024 choice),
+    # 'onehot_dots', 'unroll', 'batched', 'scan'. A static config field - NOT an
+    # env var - so it participates in the module hash and two models traced in
+    # one process cannot diverge silently (round-2 advisor finding).
+    moe_dispatch: str = "onehot"
 
     @property
     def out_channels(self) -> int:
@@ -352,6 +361,7 @@ class DiT(nn.Module):
                     expert_capacity=self.expert_capacity,
                     moe_remat_experts=moe_lean,
                     ffn_remat_hidden=ffn_lean,
+                    moe_dispatch=self.moe_dispatch,
                     dtype=self.dtype,
                     name=f"patch_mixer_{i}",
                 )
@@ -396,6 +406,7 @@ class DiT(nn.Module):
                 expert_capacity=self.expert_capacity,
                 moe_remat_experts=moe_lean,
                 ffn_remat_hidden=ffn_lean,
+                moe_dispatch=self.moe_dispatch,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -176,40 +176,41 @@ class FeedForward(nn.Module):
         hidden_dim = int(2 * hidden_dim / 3)
         return multiple_of * ((hidden_dim + multiple_of - 1) // multiple_of)
 
+    def _linear(self, x: jax.Array, name: str, features: int, init, lean: bool):
+        """Single compute helper for every projection: nn.Dense semantics (bf16
+        compute on fp32 params, zero-init bias), with ``lean=True`` emitting the
+        dot with a size-1 batch dimension at the jaxpr level so
+        dots_with_no_batch_dims_saveable remat policies skip its output; XLA's
+        algebraic simplifier collapses the dummy batch before codegen.
+        (An inner jax.checkpoint(nothing_saveable) does NOT work here:
+        nested-remat residuals are re-exported as remat2 outputs, which the
+        outer block remat saves - measured no peak-HBM change; and the
+        hidden-width silu(gate)*up would be its boundary output anyway.)"""
+        mod = nn.Dense(
+            features, use_bias=self.use_bias, kernel_init=init,
+            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name,
+        )
+        if self.is_initializing() or not lean:
+            return mod(x)
+        # Params exist by now (created during init through the same nn.Dense), so
+        # the lean form reads them directly; dtype promotion mirrors nn.Dense
+        # (fp32 params cast to the bf16 compute dtype).
+        w = self.variables["params"][name]["kernel"].astype(self.dtype)
+        xb = x.astype(self.dtype)[None]
+        y = jax.lax.dot_general(
+            xb, w[None], (((xb.ndim - 1,), (1,)), ((0,), (0,)))
+        )[0]
+        if self.use_bias:
+            y = y + self.variables["params"][name]["bias"].astype(self.dtype)
+        return y
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = self.rounded_hidden(self.hidden_dim, self.multiple_of)
-        dense = lambda f, init, name: nn.Dense(
-            f, use_bias=self.use_bias, kernel_init=init, bias_init=zeros_init,
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
-        )
-
-        gate = dense(hidden, self.w1_init, "w1")(x)
-        up = dense(hidden, self.w2_init, "w2")(x)
-        if self.remat_hidden:
-            # Hide the hidden-width activations from dot-saveable remat policies
-            # by giving the w1/w2 dots a size-1 batch dimension at the jaxpr
-            # level: dots_with_no_batch_dims_saveable then skips them, and XLA's
-            # algebraic simplifier collapses the dummy batch before codegen.
-            # (An inner jax.checkpoint(nothing_saveable) does NOT work here:
-            # nested-remat residuals are re-exported as remat2 outputs, which the
-            # outer block remat saves - measured no peak-HBM change; and the
-            # hidden-width silu(gate)*up would be its boundary output anyway.)
-            w1k = self.variables["params"]["w1"]["kernel"].astype(self.dtype)
-            w2k = self.variables["params"]["w2"]["kernel"].astype(self.dtype)
-            xb = x[None]
-            gate = jax.lax.dot_general(
-                xb, w1k[None],
-                (((xb.ndim - 1,), (1,)), ((0,), (0,))),
-            )[0]
-            up = jax.lax.dot_general(
-                xb, w2k[None],
-                (((xb.ndim - 1,), (1,)), ((0,), (0,))),
-            )[0]
-            if self.use_bias:
-                gate = gate + self.variables["params"]["w1"]["bias"].astype(self.dtype)
-                up = up + self.variables["params"]["w2"]["bias"].astype(self.dtype)
-        return dense(self.dim, self.w3_init, "w3")(nn.silu(gate) * up)
+        gate = self._linear(x, "w1", hidden, self.w1_init, self.remat_hidden)
+        up = self._linear(x, "w2", hidden, self.w2_init, self.remat_hidden)
+        return self._linear(nn.silu(gate) * up, "w3", self.dim, self.w3_init, False)
 
 
 class FeedForwardECMoe(nn.Module):
@@ -236,6 +237,25 @@ class FeedForwardECMoe(nn.Module):
     # ~e * 2T * ffn_hidden bf16 per MoE block (~117MB/block at 512px mask-0 mb8 —
     # 2GB over one v5e chip's HBM). Enabled by the '*_lean' remat policies.
     remat_experts: bool = False
+    # Dispatch/combine implementation (a static module attribute — plumbed from the
+    # DiT config / yaml recipes, NOT an env var, so two models traced in one process
+    # can't diverge silently):
+    #   'onehot'  - per-sample one-hot dispatch AND gate-weighted combine as
+    #               batched-n matmuls + fused Pallas expert FFN (ops/moe_ffn.py):
+    #               the (e, m, f) hiddens never touch HBM and there is no
+    #               gather/scatter at all. Default.
+    #   'onehot_dots' - same one-hot dispatch/combine, expert FFN as unrolled
+    #               XLA 2-D dots (hiddens in HBM; no Pallas).
+    #   'gather'  - flat expert-major gather + fused Pallas expert FFN +
+    #               scatter-add combine: no onehot dispatch-matmul FLOPs
+    #               (those cost ~t/f of the expert FLOPs - 50% at T=1024),
+    #               hiddens stay in VMEM. The long-sequence-stage choice.
+    #   'unroll'  - flat expert-major gather + unrolled 2-D expert dots +
+    #               scatter-add combine (round-2 default).
+    #   'batched' - gather + single 3-D batched dots (conv-emitted; lowest peak
+    #               HBM update graph) + scatter-add combine.
+    #   'scan'    - gather + lax.map over experts (small HLO) + scatter-add.
+    dispatch: str = "onehot"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -261,6 +281,11 @@ class FeedForwardECMoe(nn.Module):
         # Expert-choice: each expert selects its top-k tokens.
         g, m = jax.lax.top_k(jnp.swapaxes(probs, 1, 2), k)  # (n, e, k) values/indices
         g = g.astype(self.dtype)
+
+        if self.dispatch in ("onehot", "onehot_dots"):
+            return checkpoint_name(
+                self._onehot_path(x, g, m, w1, w2, hidden), "moe_out"
+            )
 
         # Flat expert-major dispatch: gather the chosen tokens into (e, n*k, d) so
         # the expert matmuls are clean 3-D batched dots with natural layouts. The
@@ -300,8 +325,17 @@ class FeedForwardECMoe(nn.Module):
             he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(he.dtype)
             return _dot2(he, w2e)  # (n*k, d)
 
-        dispatch = os.environ.get("MDT_MOE_DISPATCH", "unroll")
-        if dispatch == "scan":
+        dispatch = self.dispatch
+        if dispatch == "gather":
+            # Fused Pallas expert FFN on the gathered rows: hiddens stay in
+            # VMEM (no (e, m, f) HBM tensors, no conv-emitted batched dots) and
+            # there are NO onehot dispatch-matmul FLOPs - the T=1024 stages'
+            # combination (the onehot dispatch matmuls cost ~t/f of the expert
+            # FLOPs, 50% at 512px mask-0).
+            from ..ops.moe_ffn import moe_ffn_expert_major
+
+            h = moe_ffn_expert_major(xin, w1, w2)
+        elif dispatch == "scan":
             # same 2-D dots inside a lax.map body: ~8x smaller HLO for compile
             # helpers that crash on the fully unrolled graph; ~same device time
             # (the expert dots are serial on one core either way)
@@ -333,6 +367,70 @@ class FeedForwardECMoe(nn.Module):
         # named for the 'dots_attn_moe' remat policy: the expert einsums are
         # batched over e, so dots_with_no_batch_dims never saves them
         return checkpoint_name(out_flat.reshape(n, t, d), "moe_out")
+
+    def _onehot_path(self, x, g, m, w1, w2, hidden):
+        """Gather/scatter-free dispatch: per-sample one-hot matmuls.
+
+        Routing picks tokens WITHIN each sample (top-k over t per (n, e)), so both
+        the dispatch gather and the combine scatter-add are block-diagonal per
+        sample - i.e. a batched matmul with a (2t, t) one-hot selection matrix:
+
+            xg[n]  = D[n]       @ x[n]      D = one-hot(m)           (n, e*k, t)
+            out[n] = (D*g)[n]^T @ h[n]      gate folded into combine
+
+        This rides the MXU instead of XLA:TPU's serialized scatter-add (profiled
+        as the largest single ops at stage 1, PERF.md round 2), and its backward
+        is also a matmul - the take/scatter form's backward re-emits the scatter.
+        FLOP overhead is 4*n*t^2*d per matmul ~= t/f_avg of the expert-FFN FLOPs
+        (4-13% across MicroDiT stages), repaid by removing the gather/scatter DMA
+        entirely. n is a dot batch dim, so dots-saveable remat policies skip the
+        (n, 2t, d) dispatch/combine outputs automatically.
+
+        Matches the reference's one-hot einsum semantics (dit.py:126-143) with the
+        [n, e, k, t] one-hot collapsed to block-diagonal 3-D form.
+        """
+        n, t, d = x.shape
+        e = self.num_experts
+        k = m.shape[-1]
+
+        iota = jnp.arange(t, dtype=m.dtype)
+        onehot = (m[..., None] == iota).astype(self.dtype)  # (n, e, k, t)
+        onehot = jax.lax.stop_gradient(onehot).reshape(n, e * k, t)
+
+        # dispatch: (n, e*k, t) @ (n, t, d) -> rows in (sample, expert, slot) order
+        xg = jax.lax.dot_general(
+            onehot, x, (((2,), (1,)), ((0,), (0,)))
+        )  # (n, e*k, d) bf16
+
+        if self.dispatch == "onehot":
+            from ..ops.moe_ffn import moe_ffn
+
+            h = moe_ffn(xg.reshape(n, e, k, d), w1, w2).reshape(n, e * k, d)
+        else:  # onehot_dots: unrolled XLA 2-D expert dots (hiddens in HBM)
+            xg4 = xg.reshape(n, e, k, d)
+
+            def _dot2(a, b):
+                if self.remat_experts:
+                    return jax.lax.dot_general(
+                        a[None], b[None], (((a.ndim,), (1,)), ((0,), (0,)))
+                    )[0]
+                return jnp.dot(a, b)
+
+            hs = []
+            for i in range(e):
+                he = _dot2(xg4[:, i].reshape(n * k, d), w1[i])
+                he = nn.gelu(he.astype(jnp.float32), approximate=False).astype(
+                    he.dtype
+                )
+                hs.append(_dot2(he, w2[i]).reshape(n, k, d))
+            h = jnp.stack(hs, axis=1).reshape(n, e * k, d)
+
+        # combine: gate-weighted one-hot, contraction over the e*k row axis.
+        # W depends on g, so autodiff routes d(gate) through the (tiny) one-hot.
+        weights = onehot * g.reshape(n, e * k, 1)
+        return jax.lax.dot_general(
+            weights, h, (((1,), (1,)), ((0,), (0,)))
+        )  # (n, t, d)
 
 
 # --------------------------------------------------------------------------------------

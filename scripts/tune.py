@@ -62,12 +62,13 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def build(stage, remat, mb):
+def build(stage, remat, mb, moe="onehot"):
     res, mask = STAGES[stage]
     dit = MicroDiT_XL_2(
         input_size=res,
         remat=(remat != "none"),
         remat_policy=remat if remat != "none" else "full",
+        moe_dispatch=moe,
     )
     model = LatentDiffusion(
         dit=dit, latent_res=res, train_mask_ratio=mask, latent_scale=1.0
@@ -109,7 +110,7 @@ def measure_fwd_flops(stage):
 def run_breakdown(args):
     """Time fwd-only, fwd+bwd, and full step separately to locate the overhead."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
     batch = make_batch(args.mb, res)
 
     def loss_fn(params, rng, b):
@@ -147,7 +148,7 @@ def run_inner(args):
     """K chained train steps inside ONE jit (lax.scan): pure device time without
     per-dispatch relay overhead. Compare ms/step against the dispatch-loop number."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -187,7 +188,7 @@ def run_profile(args):
     import glob
 
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(params, sched, clip_norm=0.25,
                          low_precision_moments=(args.nu == "bf16"),
@@ -295,7 +296,7 @@ def dump_hlo(args):
     """Write the OPTIMIZED HLO of the jit'd train step to a file (chipless AOT
     compile) - for tracking profiler top-ops back to source (metadata op_name)."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -317,7 +318,7 @@ def dump_hlo(args):
 
 def run(args):
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -330,7 +331,7 @@ def run(args):
     batch_size = args.mb * args.accum
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
            "accum": args.accum, "nu": args.nu, "mode": args.accum_mode,
-           "moe": os.environ.get("MDT_MOE_DISPATCH", "unroll")}
+           "moe": args.moe}
     log(f"config: {cfg}")
 
     if args.accum > 1 and args.accum_mode == "dispatch":
@@ -410,6 +411,9 @@ def main():
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
                    dest="accum_mode")
     p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--moe", default="onehot",
+                   choices=["onehot", "onehot_dots", "gather", "unroll", "batched", "scan"],
+                   help="EC-MoE dispatch implementation (static module attr)")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--cost-analysis", action="store_true")
     p.add_argument("--fwd-flops", action="store_true")
