@@ -48,12 +48,23 @@ def _head_block(h: int) -> int:
 
 def _chunk(t: int, target: int = 256) -> int:
     """Largest divisor of t that is <= target (the (qc, kc) fp32 score tile at
-    256x256 is 256KB - far under VMEM while still MXU-sized)."""
+    256x256 is 256KB - far under VMEM while still MXU-sized).
+
+    Off-grid sequence lengths (t > target with no divisor that is a multiple of
+    128) would produce (1, hb, qc) lse/delta BlockSpecs violating the Mosaic
+    minormost-two block rule and fail deep inside the compiler; guard here with
+    an actionable message (callers dispatch such shapes to the XLA path)."""
     if t <= target:
         return t
     c = target
     while t % c:
         c -= 1
+    if c % 128:
+        raise ValueError(
+            f"flash_attention: sequence length {t} has no chunk <= {target} that "
+            f"is a multiple of 128 (best divisor: {c}); this shape cannot be "
+            "tiled by the Pallas kernel - use the XLA attention path (impl='xla')"
+        )
     return c
 
 

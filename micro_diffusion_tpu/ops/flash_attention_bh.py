@@ -25,11 +25,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / l).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # Deferred normalization: divide the (Tq, D) dot OUTPUT by l instead of the
+    # (Tq, Tk) probability tile - at D=64 the softmax's big-tile VPU passes are
+    # a first-order cost (arithmetic intensity of softmax vs dots ~ D), so every
+    # full-tile elementwise op removed counts. Same math, reassociated.
+    o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Normalization-deferred backward: every 1/l and the ds scale factor ride
+    the SMALL (T, D) tiles, never the (Tq, Tk) score tile. Derivation (p = e/l
+    rowwise, delta = rowsum(p*dp)):
+        dv = p^T do            = e^T (do / l)
+        ds = p*(dp - delta)*sc = e*(dp - delta_u/l) * (sc/l)
+        dq = ds k              = [e*(dp - delta)] k * (sc/l)      (rowwise)
+        dk = ds^T q            = [e*(dp - delta)]^T (q * sc/l)    (rowwise in q)
+    Big-tile elementwise work drops from 5 passes + exp to 3 passes + exp."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -41,25 +53,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l  # (Tq, Tk) fp32
+    inv_l = 1.0 / l  # (Tq, 1)
+    eb = e.astype(do_ref.dtype)
 
-    # dv = p^T do
+    # dv = e^T (do / l)
     dv_ref[0] = jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        eb, (do * inv_l).astype(do_ref.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
-    # dp = do v^T ; ds = p * (dp - rowsum(p * dp)) * scale
+    # dp = do v^T ; delta = rowsum(p * dp) = rowsum(e * dp) / l
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale  # (Tq, Tk) fp32
-    dq_ref[0] = jnp.dot(
-        ds.astype(q.dtype), k, preferred_element_type=jnp.float32
+    delta = jnp.sum(e * dp, axis=-1, keepdims=True) * inv_l
+    ds_u = (e * (dp - delta)).astype(q.dtype)  # unnormalized ds * l / scale
+    cb = (scale * inv_l).astype(jnp.float32)   # (Tq, 1)
+    dq_ref[0] = (
+        jnp.dot(ds_u, k, preferred_element_type=jnp.float32) * cb
     ).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds_u, (q.astype(jnp.float32) * cb).astype(q.dtype),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
