@@ -104,9 +104,17 @@ def load_config(
     config_path: str,
     config_name: str,
     overrides: Optional[List[str]] = None,
+    _resolve: bool = True,
 ) -> dict:
     """Load a recipe yaml (+ its `defaults` bases), apply overrides, resolve
-    interpolations."""
+    interpolations.
+
+    Interpolations resolve only at the TOP-level call (after the full defaults
+    merge): a base file may reference keys its children define (e.g. base.yaml's
+    ``${exp_name}``, defined per stage) - hydra semantics. A base's own path can
+    cross directories ("../res_256_pretrain" from an overlay dir); its further
+    defaults resolve relative to ITS directory.
+    """
     if not config_name.endswith((".yaml", ".yml")):
         config_name += ".yaml"
     path = os.path.join(config_path, config_name)
@@ -116,13 +124,15 @@ def load_config(
     bases = cfg.pop("defaults", [])
     merged: dict = {}
     for base in bases if isinstance(bases, list) else [bases]:
-        base_cfg = load_config(config_path, str(base))
+        base_cfg = load_config(
+            os.path.dirname(path), str(base), _resolve=False
+        )
         merged = _deep_merge(merged, base_cfg)
     cfg = _deep_merge(merged, cfg)
 
     if overrides:
         cfg = apply_overrides(cfg, overrides)
-    return resolve_interpolations(cfg)
+    return resolve_interpolations(cfg) if _resolve else cfg
 
 
 def resolve_target(target: str) -> Callable:

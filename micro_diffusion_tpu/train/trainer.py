@@ -135,6 +135,11 @@ class Trainer:
         base_lr = float(optimizer["lr"])
         self.lr_schedule = build_schedule(schedulers, base_lr, self.max_steps)
         params = model.init(jax.random.PRNGKey(seed))
+        # low_precision_moments / mu_dtype: bf16 Adam moments (fp32 update math) -
+        # the single-chip XL configs in configs/tpu_v5e_1chip need this to fit
+        # 1.16B params + AdamW in 16GB HBM (PERF.md). Multi-chip recipes shard the
+        # optimizer state instead and can keep fp32 moments.
+        _mu = optimizer.get("mu_dtype")
         self.tx = build_optimizer(
             params,
             self.lr_schedule,
@@ -142,6 +147,10 @@ class Trainer:
             betas=tuple(optimizer.get("betas", (0.9, 0.999))),
             eps=float(optimizer.get("eps", 1e-8)),
             clip_norm=clip_norm,
+            low_precision_moments=bool(
+                optimizer.get("low_precision_moments", False)
+            ),
+            mu_dtype=jnp.dtype(_mu) if _mu else None,
         )
 
         self._p_sh = param_shardings(params, self.mesh)
