@@ -104,7 +104,13 @@ def extract_and_filter(
             if not image_passes_filter(*img.size, min_side):
                 continue
             img = downsize_image(img, downsize_to)
-            img.save(os.path.splitext(dest)[0] + ".jpg", "JPEG", quality=95)
+            # Keep the original basename/extension: downstream caption pairing
+            # (jdb convert) matches jsonl img_path against these names
+            # (reference jdb/download.py:166-168 re-saves under the same name).
+            try:
+                img.save(dest)
+            except (ValueError, OSError):
+                img.save(os.path.splitext(dest)[0] + ".jpg", "JPEG", quality=95)
             kept += 1
     return kept
 

@@ -105,7 +105,7 @@ def download(
     cap_dir = os.path.join(datadir, "captions")
     os.makedirs(cap_dir, exist_ok=True)
     with tarfile.open(cap_tgz) as tar:
-        tar.extractall(cap_dir)
+        tar.extractall(cap_dir, filter="data")
 
     if links_file is None:
         raise RuntimeError(
