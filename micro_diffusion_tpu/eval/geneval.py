@@ -16,6 +16,7 @@ format is what aggregate_scores consumes.
 """
 
 import json
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
@@ -27,6 +28,123 @@ CATEGORIES = (
     "position",
     "color_attr",
 )
+
+# The COCO-80 object vocabulary the official GenEval benchmark prompts over.
+COCO_CLASSES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella", "handbag",
+    "tie", "suitcase", "frisbee", "skis", "snowboard", "sports ball", "kite",
+    "baseball bat", "baseball glove", "skateboard", "surfboard",
+    "tennis racket", "bottle", "wine glass", "cup", "fork", "knife", "spoon",
+    "bowl", "banana", "apple", "sandwich", "orange", "broccoli", "carrot",
+    "hot dog", "pizza", "donut", "cake", "chair", "couch", "potted plant",
+    "bed", "dining table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell phone", "microwave", "oven", "toaster", "sink",
+    "refrigerator", "book", "clock", "vase", "scissors", "teddy bear",
+    "hair drier", "toothbrush",
+)
+
+# Official GenEval color vocabulary (the 10 colors its color/color_attr tasks
+# draw from and its CLIP zero-shot color judge classifies over).
+GENEVAL_COLORS = ("red", "orange", "yellow", "green", "blue", "purple", "pink",
+                  "brown", "black", "white")
+
+# Official benchmark size per task category (553 prompts total).
+OFFICIAL_COUNTS = {
+    "single_object": 80,
+    "two_object": 99,
+    "counting": 80,
+    "colors": 94,
+    "position": 100,
+    "color_attr": 100,
+}
+
+OFFICIAL_MANIFEST = os.path.join(os.path.dirname(__file__),
+                                 "geneval_prompts.jsonl")
+
+
+def load_official_manifest(path: Optional[str] = None) -> List[Dict]:
+    """The vendored 553-prompt manifest (geneval_prompts.jsonl)."""
+    with open(path or OFFICIAL_MANIFEST) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def build_official_manifest(seed: int = 43) -> List[Dict]:
+    """Official-structure GenEval manifest: 553 prompts over the COCO-80
+    vocabulary with the benchmark's templates and per-category sizes
+    (single_object 80, two_object 99, counting 80, colors 94, position 100,
+    color_attr 100).
+
+    The generation procedure mirrors upstream GenEval's create_prompts flow
+    (seeded sampling + dedup per category); prompt-level identity with the
+    upstream-committed jsonl cannot be verified in this zero-egress environment,
+    so the frozen output is vendored (geneval_prompts.jsonl) and any scores
+    should cite it. Task structure, vocabulary, templates, and scoring rules
+    match the official benchmark.
+    """
+    import random
+
+    rng = random.Random(seed)
+    art = lambda w: ("an " if w[0] in "aeiou" else "a ") + w
+    num_word = {2: "two", 3: "three", 4: "four"}
+    manifest: List[Dict] = []
+
+    def fill(tag, target, gen):
+        seen = set()
+        while len(seen) < target:
+            prompt, include = gen()
+            if prompt in seen:
+                continue
+            seen.add(prompt)
+            manifest.append({"tag": tag, "prompt": prompt, "include": include})
+
+    objs = list(COCO_CLASSES)
+    for o in objs:  # single_object: one per class, in vocabulary order
+        manifest.append({
+            "tag": "single_object", "prompt": f"a photo of {art(o)}",
+            "include": [{"class": o, "count": 1}],
+        })
+
+    def two_object():
+        o1, o2 = rng.sample(objs, 2)
+        return (f"a photo of {art(o1)} and {art(o2)}",
+                [{"class": o1, "count": 1}, {"class": o2, "count": 1}])
+
+    def counting():
+        o = rng.choice(objs)
+        n = rng.choice((2, 3, 4))
+        plural = o if o.endswith("s") else o + "s"
+        return (f"a photo of {num_word[n]} {plural}",
+                [{"class": o, "count": n}])
+
+    def colors():
+        o = rng.choice(objs)
+        c = rng.choice(GENEVAL_COLORS)
+        return (f"a photo of {art(c + ' ' + o)}",
+                [{"class": o, "count": 1, "color": c}])
+
+    def position():
+        o1, o2 = rng.sample(objs, 2)
+        pos = rng.choice(("left of", "right of", "above", "below"))
+        return (f"a photo of {art(o1)} {pos} {art(o2)}",
+                [{"class": o1, "count": 1, "position": [pos, o2]},
+                 {"class": o2, "count": 1}])
+
+    def color_attr():
+        o1, o2 = rng.sample(objs, 2)
+        c1, c2 = rng.sample(GENEVAL_COLORS, 2)
+        return (f"a photo of {art(c1 + ' ' + o1)} and {art(c2 + ' ' + o2)}",
+                [{"class": o1, "count": 1, "color": c1},
+                 {"class": o2, "count": 1, "color": c2}])
+
+    fill("two_object", OFFICIAL_COUNTS["two_object"], two_object)
+    fill("counting", OFFICIAL_COUNTS["counting"], counting)
+    fill("colors", OFFICIAL_COUNTS["colors"], colors)
+    fill("position", OFFICIAL_COUNTS["position"], position)
+    fill("color_attr", OFFICIAL_COUNTS["color_attr"], color_attr)
+    return manifest
 
 
 def build_prompt_manifest(
@@ -110,10 +228,36 @@ def check_position(bbox_a, bbox_b, relation: str) -> bool:
     raise ValueError(f"unknown relation {relation}")
 
 
-def hue_color_classifier(image_rgb, bbox) -> str:
+def make_clip_color_fn(snapshot_dir: str, tokenizer_dir: Optional[str] = None,
+                       colors: Sequence[str] = GENEVAL_COLORS):
+    """The OFFICIAL GenEval color judge: CLIP zero-shot over the detection crop
+    with prompts "a photo of a <color> <class>" (upstream geneval
+    evaluation/evaluate_images.py). ``snapshot_dir``: local HF CLIPModel
+    snapshot; numerics validated in tests/test_clip_zero_shot.py."""
+    import numpy as np
+
+    from ..models.clip_zero_shot import CLIPZeroShot
+
+    zs = CLIPZeroShot(snapshot_dir, tokenizer_dir=tokenizer_dir)
+
+    def color_fn(image_rgb, bbox, cls=None) -> str:
+        img = np.asarray(image_rgb, np.uint8)
+        x0, y0, x1, y1 = (int(round(v)) for v in bbox)
+        crop = img[max(0, y0):max(0, y1), max(0, x0):max(0, x1)]
+        if crop.size == 0:
+            return "unknown"
+        noun = cls or "object"
+        art = "an" if noun[0] in "aeiou" else "a"
+        texts = [f"a photo of {art} {c} {noun}" for c in colors]
+        return colors[zs.classify([crop], texts)[0]]
+
+    return color_fn
+
+
+def hue_color_classifier(image_rgb, bbox, cls=None) -> str:
     """Offline color classifier: dominant-hue vote over the detection crop (the
-    upstream pipeline uses CLIP zero-shot on the crop; this is the dependency-free
-    fallback - swap in a CLIP color_fn for paper-parity numbers)."""
+    upstream pipeline uses CLIP zero-shot on the crop - make_clip_color_fn; this
+    is the dependency-free fallback when no CLIP weights are on disk)."""
     import numpy as np
 
     img = np.asarray(image_rgb, np.float32)
@@ -200,7 +344,7 @@ def evaluate_detections(
                     return d["color"]
                 if image is None or color_fn is None:
                     return None
-                return color_fn(image, d["bbox"])
+                return color_fn(image, d["bbox"], req["class"])
 
             if not any(det_color(d) == req["color"] for d in matches):
                 return False
@@ -262,35 +406,78 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     gp = sub.add_parser("prompts", help="write a prompt manifest json")
-    gp.add_argument("--objects_file", required=True,
-                    help="json list of object class names (e.g. COCO classes)")
+    gp.add_argument("--objects_file", default=None,
+                    help="json list of object class names (default: COCO-80)")
     gp.add_argument("--out", required=True)
     gp.add_argument("--per_category", type=int, default=100)
+    fz = sub.add_parser(
+        "freeze", help="regenerate the vendored official 553-prompt manifest"
+    )
+    fz.add_argument("--out", default=OFFICIAL_MANIFEST)
     ap = sub.add_parser("score", help="aggregate {tag, correct} results")
     ap.add_argument("--results", required=True)
     dp = sub.add_parser(
         "evaluate", help="judge raw detections against a prompt manifest"
     )
-    dp.add_argument("--manifest", required=True,
-                    help="prompt manifest json (from the prompts command)")
+    dp.add_argument("--manifest", default=OFFICIAL_MANIFEST,
+                    help="prompt manifest (.jsonl or .json; default: the "
+                         "vendored official 553-prompt manifest)")
     dp.add_argument("--detections", required=True,
                     help="json: list (one per manifest entry) of detection lists "
                          "[{class,bbox,score[,color]}] from any detector "
                          "(upstream geneval uses mmdet Mask2Former)")
+    dp.add_argument("--images_dir", default=None,
+                    help="generated-image dir ({idx:06d}.png per manifest row); "
+                         "enables crop color classification")
+    dp.add_argument("--clip_weights_dir", default=None,
+                    help="local HF CLIPModel snapshot: official CLIP zero-shot "
+                         "color judge (default: hue heuristic fallback)")
+    dp.add_argument("--clip_tokenizer_dir", default=None)
     dp.add_argument("--conf_threshold", type=float, default=0.3)
     args = p.parse_args(argv)
 
     if args.cmd == "prompts":
-        objects = json.load(open(args.objects_file))
+        if args.objects_file:
+            objects = json.load(open(args.objects_file))
+        else:
+            objects = list(COCO_CLASSES)
         manifest = build_prompt_manifest(objects, per_category=args.per_category)
         json.dump(manifest, open(args.out, "w"))
         print(f"wrote {len(manifest)} prompts -> {args.out}")
+    elif args.cmd == "freeze":
+        manifest = build_official_manifest()
+        with open(args.out, "w") as f:
+            for row in manifest:
+                f.write(json.dumps(row) + "\n")
+        print(f"wrote {len(manifest)} official prompts -> {args.out}")
     elif args.cmd == "evaluate":
-        manifest = json.load(open(args.manifest))
+        if args.manifest.endswith(".jsonl"):
+            manifest = load_official_manifest(args.manifest)
+        else:
+            manifest = json.load(open(args.manifest))
         detections = json.load(open(args.detections))
         assert len(manifest) == len(detections), (len(manifest), len(detections))
+        images = None
+        if args.images_dir:
+            import numpy as np
+            from PIL import Image
+
+            images = [
+                np.asarray(
+                    Image.open(
+                        os.path.join(args.images_dir, f"{i:06d}.png")
+                    ).convert("RGB")
+                )
+                for i in range(len(manifest))
+            ]
+        color_fn = (
+            make_clip_color_fn(args.clip_weights_dir, args.clip_tokenizer_dir)
+            if args.clip_weights_dir
+            else hue_color_classifier
+        )
         scores = score_generated_images(
-            manifest, detections, conf_threshold=args.conf_threshold
+            manifest, detections, images=images, color_fn=color_fn,
+            conf_threshold=args.conf_threshold,
         )
         print(json.dumps(scores, indent=2))
     else:

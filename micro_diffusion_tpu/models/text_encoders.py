@@ -360,7 +360,27 @@ class UniversalTextEncoder:
         if self.is_t5:
             self.module = T5Encoder(dtype=jdtype)
         else:
-            vocab, width, layers, heads, qg = _CLIP_CONFIGS[name]
+            if name in _CLIP_CONFIGS:
+                vocab, width, layers, heads, qg = _CLIP_CONFIGS[name]
+            else:
+                # Local HF CLIPTextModel snapshot: architecture from config.json
+                # (reference utils.py:465-469 accepts any HF name; offline that
+                # means a local directory).
+                cfg_dir = name if os.path.isdir(name) else (weights_dir or "")
+                cfg_path = os.path.join(cfg_dir, "config.json")
+                if not os.path.exists(cfg_path):
+                    raise KeyError(
+                        f"unknown text encoder '{name}' and no local config.json"
+                    )
+                with open(cfg_path) as f:
+                    cfg = json.load(f)
+                vocab = int(cfg["vocab_size"])
+                width = int(cfg["hidden_size"])
+                layers = int(cfg["num_hidden_layers"])
+                heads = int(cfg["num_attention_heads"])
+                qg = cfg.get("hidden_act", "quick_gelu") == "quick_gelu"
+                if os.path.isdir(name) and weights_dir is None:
+                    weights_dir = name
             self.module = CLIPTextTransformer(
                 vocab_size=vocab, width=width, layers=layers, heads=heads,
                 use_quick_gelu=qg, dtype=jdtype,
