@@ -154,6 +154,10 @@ def main(argv=None):
     python -m micro_diffusion_tpu.eval.fid --real <dir|stats.npz> --fake <dir> \
         --inception_weights pt_inception-2015-12-05.pth [--save_real_stats out.npz]
     """
+    from ..utils.platform import apply_platform_override
+
+    apply_platform_override()  # MDT_PLATFORM=cpu for offline dry runs
+
     import argparse
 
     p = argparse.ArgumentParser(description=main.__doc__)
@@ -180,7 +184,9 @@ def main(argv=None):
         real.save(args.save_real_stats)
     fake = stats_for(args.fake)
     fid = compute_fid_from_stats(real, fake)
-    print(f"FID: {fid:.4f} (real n={real.n}, fake n={fake.n})")
+    import json
+
+    print(json.dumps({"fid": round(fid, 4), "real_n": real.n, "fake_n": fake.n}))
     return fid
 
 

@@ -53,6 +53,10 @@ def generate_images(
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_override
+
+    apply_platform_override()  # MDT_PLATFORM=cpu for offline dry runs
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--captions", required=True, help="json list of caption strings")
     p.add_argument("--outdir", required=True)
