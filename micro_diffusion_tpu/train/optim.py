@@ -218,7 +218,16 @@ def ema_update(
     before ema_start the mirror runs every step)."""
     decay = jnp.where(step >= ema_start, smoothing, 0.0)
     do = jnp.logical_or(step < ema_start, step % max(1, update_interval) == 0)
+    # fp32 decay math regardless of the EMA storage dtype: a bf16-stored EMA
+    # (the single-chip HBM compromise - a second fp32 param copy does not fit
+    # next to params + moments on 16GB) still accumulates at fp32 precision
+    # within each update before rounding back.
     return jax.tree.map(
-        lambda e, p: jnp.where(do, decay * e + (1.0 - decay) * p, e),
+        lambda e, p: jnp.where(
+            do,
+            (decay * e.astype(jnp.float32)
+             + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+            e,
+        ),
         ema_params, params,
     )

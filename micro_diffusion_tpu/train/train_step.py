@@ -29,13 +29,26 @@ class TrainState:
 
 
 def create_train_state(
-    params: Any, tx: optax.GradientTransformation, use_ema: bool = False
+    params: Any, tx: optax.GradientTransformation, use_ema: bool = False,
+    ema_dtype: Optional[Any] = None,
 ) -> TrainState:
+    """``ema_dtype``: storage dtype for the EMA copy (default: same as params).
+    bf16 EMA is the single-chip HBM compromise for XL - a second fp32 param
+    copy (4.66GB) does not fit next to params + moments on 16GB; multi-chip
+    recipes shard the state and keep fp32."""
+    if use_ema:
+        ema = jax.tree.map(
+            (lambda p: p.astype(ema_dtype)) if ema_dtype is not None
+            else jnp.copy,
+            params,
+        )
+    else:
+        ema = None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+        ema_params=ema,
     )
 
 
