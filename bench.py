@@ -218,16 +218,27 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         f"{bare_img_s:.1f} img/s (loss {loss1:.4f})")
 
     if k_recipe == 1:
-        return bare_img_s, bare_img_s, mb
-    # K=2 scan-accumulated step: t(K) = t_update + K*t_micro
-    step2 = jax.jit(
-        make_train_step(model, tx, sched, microbatch_size=mb, **step_kwargs),
-        donate_argnums=(0,),
-    )
-    dt2, loss2, state = _time_step(
-        step2, state, _make_batch(2 * mb, latent_res), rng, timed_steps,
-        f"[{name}] K=2",
-    )
+        return bare_img_s, bare_img_s, mb, "none"
+    # K=2 scan-accumulated step: t(K) = t_update + K*t_micro. The fp32 grad
+    # accumulator is a params-sized carry (4.66GB) - on one 16GB chip it may
+    # not fit next to params + moments (+ EMA) at ANY microbatch (PERF.md
+    # round 2: accumulation is the multi-chip configuration, where ZeRO-2
+    # sharding frees the room). If it OOMs, the stage reports the K=1 number
+    # and marks accumulation infeasible instead of failing the rung: the K=1
+    # step IS a valid single-chip training step (update every mb images), just
+    # not the reference's 2048-batch semantics.
+    try:
+        step2 = jax.jit(
+            make_train_step(model, tx, sched, microbatch_size=mb, **step_kwargs),
+            donate_argnums=(0,),
+        )
+        dt2, loss2, state = _time_step(
+            step2, state, _make_batch(2 * mb, latent_res), rng, timed_steps,
+            f"[{name}] K=2",
+        )
+    except Exception as e:  # noqa: BLE001 - OOM/compile failure at value fetch
+        log(f"[{name}] K=2 accumulation infeasible on one chip: {str(e)[:120]}")
+        return bare_img_s, bare_img_s, mb, "infeasible_single_chip"
     t_micro = dt2 - dt1  # one fwd+bwd+fp32-accumulate leg
     if t_micro <= 0:  # noise guard: fall back to the conservative reading
         t_micro = dt2 / 2
@@ -239,7 +250,7 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         f"K={k_recipe}: {t_full * 1e3:.1f} ms = {recipe_img_s:.1f} img/s "
         f"(bare {bare_img_s:.1f}, loss {loss2:.4f})"
     )
-    return recipe_img_s, bare_img_s, mb
+    return recipe_img_s, bare_img_s, mb, f"scan_k{k_recipe}"
 
 
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
@@ -254,11 +265,11 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
         # through the factory - NOT an env var (round-2 advisor finding).
         moe = cfg[2] if len(cfg) > 2 else "unroll"
         try:
-            recipe_img_s, bare_img_s, mb = _run_config(
+            recipe_img_s, bare_img_s, mb, accum = _run_config(
                 name, latent_res, mask_ratio, policy, mb, timed_steps,
                 moe_dispatch=moe,
             )
-            return recipe_img_s, bare_img_s, mb, policy, moe
+            return recipe_img_s, bare_img_s, mb, policy, moe, accum
         except Exception as e:  # OOM / remote-compile 500 -> next config
             log(f"[{name}] config (remat={policy}, mb={mb}) failed: {str(e)[:120]}")
         # A failed rung's 9GB of params/opt-state must be off the chip before
@@ -278,7 +289,7 @@ def main():
 
     results = {}
     for name, res, mask, steps, ladder in stages:
-        img_s, bare, mb, policy, moe = bench_stage(
+        img_s, bare, mb, policy, moe, accum = bench_stage(
             name, res, mask, ladder, timed_steps
         )
         # MFU: model FLOPs (3x fwd, excluding remat recompute) / peak
@@ -290,7 +301,7 @@ def main():
             "bare_step_img_per_sec": bare,
             "microbatch": mb, "remat": policy, "moe_dispatch": moe,
             "ema": name in STAGE_EMA,
-            "accum_k": max(1, PER_RANK_BATCH // mb),
+            "accum": accum,
             "schedule_steps": steps, "est_mfu": round(mfu, 3),
         }
 
