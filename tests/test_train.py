@@ -105,6 +105,29 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(e["w"]), 0.9 * 1.0 + 0.1 * 2.0, rtol=1e-6)
 
 
+def test_ema_bf16_storage_fp32_math():
+    """bf16 EMA storage (the single-chip HBM compromise, bench.py): decay math
+    runs in fp32 within each update and rounds back to the storage dtype, and
+    create_train_state honors ema_dtype."""
+    from micro_diffusion_tpu.train import create_train_state
+    from micro_diffusion_tpu.train.optim import build_optimizer, constant_schedule
+
+    e = {"w": jnp.ones(4, jnp.bfloat16)}
+    p = {"w": jnp.full((4,), 1.001, jnp.float32)}
+    out = ema_update(e, p, jnp.asarray(15), smoothing=0.9, ema_start=10)
+    assert out["w"].dtype == jnp.bfloat16
+    # fp32 math: 0.9*1 + 0.1*1.001 = 1.0001, then rounded to bf16
+    np.testing.assert_allclose(
+        np.asarray(out["w"], np.float32), np.float32(np.float32(1.0001)),
+        rtol=1e-2,
+    )
+
+    params = {"w": jnp.ones((2, 2), jnp.float32)}
+    tx = build_optimizer(params, constant_schedule(1e-4))
+    state = create_train_state(params, tx, use_ema=True, ema_dtype=jnp.bfloat16)
+    assert state.ema_params["w"].dtype == jnp.bfloat16
+
+
 def test_ema_update_interval():
     """Reference recipes set ema update_interval (res_512_pretrain.yaml:4-9); after
     ema_start the decay applies only on interval steps (VERDICT.md weak #7)."""
