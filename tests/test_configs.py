@@ -40,7 +40,10 @@ def test_single_chip_overlays_are_complete(stage):
     )
     mb = int(cfg["trainer"]["device_train_microbatch_size"])
     assert 1 <= mb <= 256
-    assert int(cfg["dataset"]["train_batch_size"]) == 2048  # inherited
+    # single-chip: batch == microbatch (the fp32 accumulation carry for the
+    # 2048 global batch does not fit one 16GB chip; multi-chip recipes keep
+    # the inherited 2048 - see the overlay comments / PERF.md)
+    assert int(cfg["dataset"]["train_batch_size"]) == mb
     assert cfg["seed"] == 18
 
     # the model block instantiates through the real factory (kwargs accepted)
