@@ -433,6 +433,7 @@ def create_latent_diffusion(
     remat: bool = False,
     remat_policy: str = "full",
     moe_dispatch: str = "onehot",
+    attention_impl: str = "auto",
 ) -> LatentDiffusion:
     """Model factory with the reference signature (model.py:356-405).
 
@@ -462,6 +463,8 @@ def create_latent_diffusion(
         # EC-MoE dispatch implementation (static module attribute; see
         # models/layers.py FeedForwardECMoe.dispatch for the variants)
         moe_dispatch=moe_dispatch,
+        # attention backend ('auto'|'xla'|'flash'|'flash_bthd'; ops/attention.py)
+        attention_impl=attention_impl,
     )
 
     vae = text_encoder = tokenizer = None

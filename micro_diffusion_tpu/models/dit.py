@@ -96,6 +96,7 @@ class DiTBlock(nn.Module):
     moe_remat_experts: bool = False
     ffn_remat_hidden: bool = False
     moe_dispatch: str = "onehot"
+    attn_impl: str = "auto"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -130,6 +131,7 @@ class DiTBlock(nn.Module):
             qkv_init=normal_init(0.02),
             proj_init=normal_init(init_std),
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
             name="attn",
         )(h)
         x = x + gate_msa[:, None, :] * h
@@ -144,6 +146,7 @@ class DiTBlock(nn.Module):
             qkv_init=normal_init(0.02),
             proj_init=normal_init(init_std),
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
             name="cross_attn",
         )(h, y)
 
@@ -238,6 +241,9 @@ class DiT(nn.Module):
     # env var - so it participates in the module hash and two models traced in
     # one process cannot diverge silently (round-2 advisor finding).
     moe_dispatch: str = "onehot"
+    # Attention backend ('auto' | 'xla' | 'flash' | 'flash_bthd'; ops/attention.py).
+    # 'auto' dispatches flash at Tq >= 512 on TPU (the measured in-step crossover).
+    attention_impl: str = "auto"
 
     @property
     def out_channels(self) -> int:
@@ -362,6 +368,7 @@ class DiT(nn.Module):
                     moe_remat_experts=moe_lean,
                     ffn_remat_hidden=ffn_lean,
                     moe_dispatch=self.moe_dispatch,
+                    attn_impl=self.attention_impl,
                     dtype=self.dtype,
                     name=f"patch_mixer_{i}",
                 )
@@ -407,6 +414,7 @@ class DiT(nn.Module):
                 moe_remat_experts=moe_lean,
                 ffn_remat_hidden=ffn_lean,
                 moe_dispatch=self.moe_dispatch,
+                attn_impl=self.attention_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

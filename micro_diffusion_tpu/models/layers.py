@@ -450,6 +450,9 @@ class SelfAttention(nn.Module):
     qkv_init: Initializer = normal_init(0.02)
     proj_init: Initializer = xavier_uniform
     dtype: Any = jnp.bfloat16
+    # attention backend (ops/attention.py): 'auto' | 'xla' | 'flash' |
+    # 'flash_bthd' - a static config attribute, not an env var
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -472,7 +475,7 @@ class SelfAttention(nn.Module):
         k = ln("ln_k")(k).reshape(b, n, self.num_heads, head_dim)
         v = v.reshape(b, n, self.num_heads, head_dim)
 
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, hidden)
         return nn.Dense(
             self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,
@@ -492,6 +495,7 @@ class CrossAttention(nn.Module):
     qkv_init: Initializer = normal_init(0.02)
     proj_init: Initializer = xavier_uniform
     dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"  # see SelfAttention.attn_impl
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
@@ -522,7 +526,7 @@ class CrossAttention(nn.Module):
         k = ln("ln_k")(k).reshape(b, l, self.num_heads, head_dim)
         v = v.reshape(b, l, self.num_heads, head_dim)
 
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, hidden)
         return nn.Dense(
             self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,

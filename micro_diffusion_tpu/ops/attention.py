@@ -19,18 +19,20 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 
-def _default_impl() -> str:
-    """'auto' | 'xla' | 'pallas', read per-call so tests/benchmarks can flip the
-    backend. MDT_ATTENTION_INTERPRET=1 runs the Pallas kernel in interpreter mode.
-
-    'auto' (default): the Pallas flash kernel on TPU for sequences >= 512, XLA
-    below. Isolated fwd+bwd micro-benches say flash-bh wins from T=256 up
-    (2.3-2.6x XLA at T=1024, 1.5x at T=256/b16h16) - but inside the full train
-    step T=256 flash REGRESSES the step (-16% stage 2, -8% stage 3, measured
-    round 2): below the crossover XLA fuses the attention einsums with
-    neighboring ops, which the custom-call boundary forfeits. Trust the
-    in-step numbers; the crossover sits between 256 and 512."""
-    return os.environ.get("MDT_ATTENTION_IMPL", "auto")
+# Attention implementation is a STATIC config choice plumbed from the model
+# (DiT.attention_impl / SelfAttention.attn_impl) - not an env var, so two
+# models traced in one process cannot diverge silently:
+#   'auto'       - flash-bh on TPU for Tq >= 512, XLA below. Isolated fwd+bwd
+#                  micro-benches say flash-bh wins from T=256 up (2.3-2.6x XLA
+#                  at T=1024) but inside the full train step T=256 flash
+#                  REGRESSED (-16% stage 2, round 2): below the crossover XLA
+#                  fuses the attention einsums with neighboring ops, which the
+#                  custom-call boundary forfeits. Trust in-step numbers.
+#   'xla'        - fused softmax(QK^T)V einsums
+#   'flash'      - Pallas flash-bh ((B*H, T, D) whole-K programs, fastest
+#                  measured at every MicroDiT shape)
+#   'flash_bthd' - canonical tiled flash (v5: lse + 2-kernel bwd), scales past
+#                  the whole-K VMEM roof
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
@@ -62,7 +64,7 @@ def dot_product_attention(
     Matches torch ``F.scaled_dot_product_attention(is_causal=False)`` semantics with the
     default ``1/sqrt(head_dim)`` scale (reference utils.py:127-132).
     """
-    impl = impl or _default_impl()
+    impl = impl or "auto"
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return checkpoint_name(
@@ -71,21 +73,23 @@ def dot_product_attention(
 
 
 def _dispatch(q, k, v, *, scale, impl):
+    on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and q.shape[1] >= 512) else "xla"
-    if impl == "pallas":
-        interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
-        # 'bh' (default): (B*H,T,D) whole-K kernel - fastest measured variant at
-        # every MicroDiT shape (its host transposes cost less than the in-place
-        # variant's tiled accumulators). 'bthd': canonical flash (v5) - consumes
-        # (B,T,H,D) in place, saves lse, tiles both sequence dims; scales past
-        # T=1024 and stays under the 16MB VMEM roof where whole-K backwards OOM.
-        if os.environ.get("MDT_FLASH_VARIANT", "bh") == "bh":
+        impl = "flash" if (on_tpu and q.shape[1] >= 512) else "xla"
+    elif impl == "pallas":  # legacy alias
+        impl = "flash"
+    if impl in ("flash", "flash_bthd"):
+        # interpret mode off-TPU so the flash paths stay testable on CPU
+        # (MDT_ATTENTION_INTERPRET=1 forces it for kernel-logic tests on TPU).
+        interpret = (not on_tpu) or os.environ.get(
+            "MDT_ATTENTION_INTERPRET"
+        ) == "1"
+        if impl == "flash":
             from .flash_attention_bh import flash_attention_bh
 
             return flash_attention_bh(q, k, v, scale, interpret)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale, interpret)
+    assert impl == "xla", impl
     return _xla_attention(q, k, v, scale)

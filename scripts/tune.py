@@ -62,13 +62,14 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def build(stage, remat, mb, moe="onehot"):
+def build(stage, remat, mb, moe="onehot", attn="auto"):
     res, mask = STAGES[stage]
     dit = MicroDiT_XL_2(
         input_size=res,
         remat=(remat != "none"),
         remat_policy=remat if remat != "none" else "full",
         moe_dispatch=moe,
+        attention_impl=attn,
     )
     model = LatentDiffusion(
         dit=dit, latent_res=res, train_mask_ratio=mask, latent_scale=1.0
@@ -110,7 +111,7 @@ def measure_fwd_flops(stage):
 def run_breakdown(args):
     """Time fwd-only, fwd+bwd, and full step separately to locate the overhead."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
     batch = make_batch(args.mb, res)
 
     def loss_fn(params, rng, b):
@@ -148,7 +149,7 @@ def run_inner(args):
     """K chained train steps inside ONE jit (lax.scan): pure device time without
     per-dispatch relay overhead. Compare ms/step against the dispatch-loop number."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -188,7 +189,7 @@ def run_profile(args):
     import glob
 
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(params, sched, clip_norm=0.25,
                          low_precision_moments=(args.nu == "bf16"),
@@ -296,7 +297,7 @@ def dump_hlo(args):
     """Write the OPTIMIZED HLO of the jit'd train step to a file (chipless AOT
     compile) - for tracking profiler top-ops back to source (metadata op_name)."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -318,7 +319,7 @@ def dump_hlo(args):
 
 def run(args):
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -331,7 +332,7 @@ def run(args):
     batch_size = args.mb * args.accum
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
            "accum": args.accum, "nu": args.nu, "mode": args.accum_mode,
-           "moe": args.moe}
+           "moe": args.moe, "attn": args.attn}
     log(f"config: {cfg}")
 
     if args.accum > 1 and args.accum_mode == "dispatch":
@@ -411,6 +412,9 @@ def main():
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
                    dest="accum_mode")
     p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--attn", default="auto",
+                   choices=["auto", "xla", "flash", "flash_bthd"],
+                   help="attention backend (static module attr)")
     p.add_argument("--moe", default="onehot",
                    choices=["onehot", "onehot_dots", "gather", "unroll", "batched", "scan"],
                    help="EC-MoE dispatch implementation (static module attr)")

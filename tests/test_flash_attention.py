@@ -77,18 +77,20 @@ def test_custom_scale():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_full_dit_forward_pallas_vs_xla(monkeypatch):
-    """The whole DiT forward with MDT_ATTENTION_IMPL=pallas (interpret mode) must match
-    the XLA attention path - validates the backend swap is numerically transparent."""
+def test_full_dit_forward_pallas_vs_xla():
+    """The whole DiT forward with attention_impl='flash' (interpret mode on CPU)
+    must match the XLA attention path - validates the backend swap is numerically
+    transparent AND that the impl knob is a static config field, not an env var."""
     from micro_diffusion_tpu.models.dit import DiT
 
-    model = DiT(
+    kw = dict(
         input_size=16, patch_size=2, in_channels=4, dim=64, depth=2, head_dim=16,
         multiple_of=32, caption_channels=32, qkv_multipliers=(1.0,),
         ffn_multipliers=(2.0,), use_patch_mixer=True, patch_mixer_depth=1,
         patch_mixer_dim=64, use_bias=False, num_experts=4, expert_capacity=2.0,
         dtype=jnp.float32,
     )
+    model = DiT(**kw)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 4, 16, 16))
     t = jnp.zeros((2,))
@@ -101,9 +103,8 @@ def test_full_dit_forward_pallas_vs_xla(monkeypatch):
 
     out_xla = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
 
-    monkeypatch.setenv("MDT_ATTENTION_IMPL", "pallas")
-    monkeypatch.setenv("MDT_ATTENTION_INTERPRET", "1")
-    out_pallas = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
+    flash_model = DiT(attention_impl="flash", **kw)  # interpret auto-on off-TPU
+    out_pallas = jax.jit(lambda p: flash_model.apply(p, x, t, y)["sample"])(params)
 
     np.testing.assert_allclose(
         np.asarray(out_pallas), np.asarray(out_xla), rtol=5e-5, atol=5e-5
