@@ -88,16 +88,18 @@ STAGES = [
      (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16),
       ("attn_moe", 32, "onehot"), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
-    # attn_moe mb32 53.5 ~= lean mb16 53.4; dots_attn_moe mb16 measured 54.4
-    # under the previous service epoch, currently fails to fit
+    # measured round 3: onehot dots_attn_moe mb16 58.3 bare > gather 55.8 >
+    # round-2 attn_moe mb32 53.5 ~= lean mb16 53.4
     ("res512_mask75", 64, 0.75, 50_000,
-     (("dots_attn_moe", 16), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
+     (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "gather"),
+      ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
-     # measured: batched mb8 21.4 img/s > xlean-unroll mb8 20.7 (the per-expert
-     # hidden/FFN recompute outweighs the unroll's faster dots at this stage);
-     # mb16 needs 19.8G > 15.75G HBM even at xlean - not reachable on one chip
-     (("dots_attn_moe", 8, "batched"), ("dots_attn_moe_xlean", 8), ("full", 8),
+     # measured round 3: onehot mb8 22.1 bare > gather mb8 21.6 > round-2
+     # batched mb8 21.4 > xlean-unroll mb8 20.7; mb16 needs 19.8G > 15.75G HBM
+     # even at xlean - not reachable on one chip
+     (("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 8, "gather"),
+      ("dots_attn_moe", 8, "batched"), ("dots_attn_moe_xlean", 8), ("full", 8),
       ("full", 4), ("full", 2))),
 ]
 
@@ -219,27 +221,35 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
-    # K=2 scan-accumulated step: t(K) = t_update + K*t_micro. The fp32 grad
-    # accumulator is a params-sized carry (4.66GB) - on one 16GB chip it may
-    # not fit next to params + moments (+ EMA) at ANY microbatch (PERF.md
-    # round 2: accumulation is the multi-chip configuration, where ZeRO-2
-    # sharding frees the room). If it OOMs, the stage reports the K=1 number
-    # and marks accumulation infeasible instead of failing the rung: the K=1
-    # step IS a valid single-chip training step (update every mb images), just
-    # not the reference's 2048-batch semantics.
-    try:
-        step2 = jax.jit(
-            make_train_step(model, tx, sched, microbatch_size=mb, **step_kwargs),
-            donate_argnums=(0,),
-        )
-        dt2, loss2, state = _time_step(
-            step2, state, _make_batch(2 * mb, latent_res), rng, timed_steps,
-            f"[{name}] K=2",
-        )
-    except Exception as e:  # noqa: BLE001 - OOM/compile failure at value fetch
-        log(f"[{name}] K=2 accumulation infeasible on one chip: {str(e)[:120]}")
+    # K=2 scan-accumulated step: t(K) = t_update + K*t_micro. The recipe step
+    # AMORTIZES the optimizer+EMA cost (~39ms for XL) over K microbatches, so
+    # at K>=16 it beats the bare step per image. The grad accumulator is a
+    # params-sized carry: fp32 (4.66GB, Composer-exact) is tried first; if the
+    # chip can't fit it, the bf16 accumulator (2.33GB, fp32 mean/clip/update
+    # math - see make_train_step) is the single-chip configuration. If neither
+    # fits, the stage reports the K=1 number and marks accumulation
+    # infeasible: the K=1 step IS a valid single-chip training step (update
+    # every mb images), just not the reference's 2048-batch semantics.
+    dt2 = loss2 = acc_tag = None
+    for acc_dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        try:
+            step2 = jax.jit(
+                make_train_step(model, tx, sched, microbatch_size=mb,
+                                accum_dtype=acc_dtype, **step_kwargs),
+                donate_argnums=(0,),
+            )
+            dt2, loss2, state = _time_step(
+                step2, state, _make_batch(2 * mb, latent_res), rng, timed_steps,
+                f"[{name}] K=2 ({tag} accum)",
+            )
+            acc_tag = tag
+            break
+        except Exception as e:  # noqa: BLE001 - OOM/compile fail at value fetch
+            log(f"[{name}] K=2 {tag}-accum infeasible: {str(e)[:120]}")
+            gc.collect()
+    if dt2 is None:
         return bare_img_s, bare_img_s, mb, "infeasible_single_chip"
-    t_micro = dt2 - dt1  # one fwd+bwd+fp32-accumulate leg
+    t_micro = dt2 - dt1  # one fwd+bwd+accumulate leg
     if t_micro <= 0:  # noise guard: fall back to the conservative reading
         t_micro = dt2 / 2
     t_update = max(dt2 - 2 * t_micro, 0.0)
@@ -250,7 +260,7 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         f"K={k_recipe}: {t_full * 1e3:.1f} ms = {recipe_img_s:.1f} img/s "
         f"(bare {bare_img_s:.1f}, loss {loss2:.4f})"
     )
-    return recipe_img_s, bare_img_s, mb, f"scan_k{k_recipe}"
+    return recipe_img_s, bare_img_s, mb, f"scan_k{k_recipe}_{acc_tag}"
 
 
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):

@@ -240,10 +240,19 @@ class FeedForwardECMoe(nn.Module):
     # Dispatch/combine implementation (a static module attribute — plumbed from the
     # DiT config / yaml recipes, NOT an env var, so two models traced in one process
     # can't diverge silently):
+    #   'hybrid'  - dispatch/combine with explicit adjoints (ops/moe_dispatch.py):
+    #               row gathers where a gather is exact (dispatch fwd, combine
+    #               bwd) and one-hot matmuls where duplicate indices must
+    #               accumulate (combine fwd, dispatch bwd), gate applied
+    #               elementwise so its cotangent is a rowwise dot. TWO one-hot
+    #               matmuls per layer instead of autodiff-onehot's five
+    #               (~26% of the 512px-mask0 step FLOPs), no scatter anywhere.
+    #               Fused Pallas expert FFN. Default.
     #   'onehot'  - per-sample one-hot dispatch AND gate-weighted combine as
     #               batched-n matmuls + fused Pallas expert FFN (ops/moe_ffn.py):
     #               the (e, m, f) hiddens never touch HBM and there is no
-    #               gather/scatter at all. Default.
+    #               gather/scatter at all - but plain autodiff pays 5 one-hot
+    #               matmuls per layer.
     #   'onehot_dots' - same one-hot dispatch/combine, expert FFN as unrolled
     #               XLA 2-D dots (hiddens in HBM; no Pallas).
     #   'gather'  - flat expert-major gather + fused Pallas expert FFN +
@@ -282,6 +291,10 @@ class FeedForwardECMoe(nn.Module):
         g, m = jax.lax.top_k(jnp.swapaxes(probs, 1, 2), k)  # (n, e, k) values/indices
         g = g.astype(self.dtype)
 
+        if self.dispatch == "hybrid":
+            return checkpoint_name(
+                self._hybrid_path(x, g, m, w1, w2), "moe_out"
+            )
         if self.dispatch in ("onehot", "onehot_dots"):
             return checkpoint_name(
                 self._onehot_path(x, g, m, w1, w2, hidden), "moe_out"
@@ -367,6 +380,26 @@ class FeedForwardECMoe(nn.Module):
         # named for the 'dots_attn_moe' remat policy: the expert einsums are
         # batched over e, so dots_with_no_batch_dims never saves them
         return checkpoint_name(out_flat.reshape(n, t, d), "moe_out")
+
+    def _hybrid_path(self, x, g, m, w1, w2):
+        """Gather-fwd / matmul-bwd dispatch + matmul-fwd / gather-bwd combine
+        (ops/moe_dispatch.py custom VJPs) around the fused Pallas expert FFN.
+
+        Same math as the reference one-hot einsums (dit.py:126-143); the gate
+        is folded elementwise between FFN and combine so d(gate) is a rowwise
+        dot (sum_d dhg * h), not a (2t, t) matmul. See the dispatch-mode table
+        above: this is the cheapest correct form on every MicroDiT stage."""
+        n, t, d = x.shape
+        e = self.num_experts
+        k = m.shape[-1]
+        from ..ops.moe_dispatch import combine_rows, dispatch_rows
+        from ..ops.moe_ffn import moe_ffn
+
+        idx = m.reshape(n, e * k)
+        xg = dispatch_rows(x, idx, t)  # (n, e*k, d)
+        h = moe_ffn(xg.reshape(n, e, k, d), w1, w2).reshape(n, e * k, d)
+        hg = h * g.reshape(n, e * k, 1)
+        return combine_rows(hg, idx, t)  # (n, t, d)
 
     def _onehot_path(self, x, g, m, w1, w2, hidden):
         """Gather/scatter-free dispatch: per-sample one-hot matmuls.

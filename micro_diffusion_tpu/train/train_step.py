@@ -72,11 +72,21 @@ def make_train_step(
     ema_smoothing: Optional[float] = None,
     ema_start: int = 0,
     ema_update_interval: int = 1,
+    accum_dtype: Any = jnp.float32,
 ) -> Callable:
     """Build the train step fn(state, batch, base_rng) -> (state, metrics).
 
     ``model`` is a LatentDiffusion (models/diffusion.py); its ``forward`` computes the
     EDM loss with the configured train_mask_ratio.
+
+    ``accum_dtype``: storage dtype of the microbatch gradient accumulator. The
+    fp32 default matches Composer's fp32 grad accumulation exactly; bf16 halves
+    the accumulator to 2.33GB for XL, which is what lets the full 256-sample
+    per-rank batch accumulate on ONE 16GB chip next to fp32 params + bf16
+    moments (+ bf16 EMA). The mean/clip/AdamW update math stays fp32 either
+    way; only the running sum is stored rounded (grads themselves are bf16
+    products upstream, and the K<=32 partial sums stay well inside bf16's
+    8-bit mantissa - see tests/test_train_step.py for the tolerance proof).
     """
     from .optim import ema_update
 
@@ -96,11 +106,13 @@ def make_train_step(
             acc_loss, acc_grads = acc
             return (
                 acc_loss + loss,
-                jax.tree.map(jnp.add, acc_grads, grads),
+                jax.tree.map(
+                    lambda a, g: a + g.astype(accum_dtype), acc_grads, grads
+                ),
             ), None
 
         zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            lambda p: jnp.zeros(p.shape, accum_dtype), state.params
         )
         (loss_sum, grad_sum), _ = jax.lax.scan(
             micro_step,
@@ -108,7 +120,7 @@ def make_train_step(
             (jnp.arange(n), micro),
         )
         loss = loss_sum / n
-        grads = jax.tree.map(lambda g: g / n, grad_sum)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -84,6 +84,9 @@ class Trainer:
         accum_mode: str = "scan",  # 'scan' (one fused step) | 'dispatch' (k small
         # grad graphs + one apply graph - for toolchains that reject the scanned
         # whole-step program; semantics identical, see train_step.py)
+        grad_accum_dtype: str = "float32",  # accumulator storage for the scan
+        # mode; 'bfloat16' halves the params-sized carry (the single-chip XL
+        # configuration - see make_train_step / configs/tpu_v5e_1chip)
         **_: Any,
     ):
         self.model = model
@@ -171,6 +174,7 @@ class Trainer:
 
         assert accum_mode in ("scan", "dispatch"), accum_mode
         self.accum_mode = accum_mode
+        self.accum_dtype = jnp.dtype(grad_accum_dtype)
         self._grad_fn = self._apply_fn = None
         if accum_mode == "dispatch" and self.microbatch_size:
             self._grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
@@ -198,6 +202,7 @@ class Trainer:
                 ema_update_interval=(
                     self.ema_cfg["update_interval"] if self.ema_cfg else 1
                 ),
+                accum_dtype=self.accum_dtype,
             ),
             in_shardings=(self._state_sh, self._b_sh, None),
             out_shardings=(self._state_sh, None),

@@ -326,13 +326,18 @@ def run(args):
         mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None,
         low_precision_moments=(args.nu == "bf16"),
     )
-    state = create_train_state(params, tx)
+    state = create_train_state(params, tx, use_ema=args.ema,
+                               ema_dtype=jnp.bfloat16 if args.ema else None)
     del params
 
     batch_size = args.mb * args.accum
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
            "accum": args.accum, "nu": args.nu, "mode": args.accum_mode,
            "moe": args.moe, "attn": args.attn}
+    if args.accum > 1:
+        cfg["accum_dtype"] = args.accum_dtype
+    if args.ema:
+        cfg["ema"] = True
     log(f"config: {cfg}")
 
     if args.accum > 1 and args.accum_mode == "dispatch":
@@ -367,9 +372,20 @@ def run(args):
         final_loss = float(metrics["loss"])
         dt = (time.time() - t0) / args.steps
     else:
+        step_kwargs = {}
+        if args.ema:
+            # per-stage recipe smoothing, matching bench.py exactly so probe
+            # compiles warm the persistent cache for the bench run
+            step_kwargs = dict(
+                ema_smoothing=bench.STAGE_EMA.get(args.stage, 0.9975),
+                ema_start=0, ema_update_interval=1,
+            )
         step_fn = jax.jit(
             make_train_step(model, tx, sched,
-                            microbatch_size=args.mb if args.accum > 1 else None),
+                            microbatch_size=args.mb if args.accum > 1 else None,
+                            accum_dtype=jnp.bfloat16
+                            if args.accum_dtype == "bf16" else jnp.float32,
+                            **step_kwargs),
             donate_argnums=(0,),
         )
         batch = make_batch(batch_size, res)
@@ -412,11 +428,15 @@ def main():
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
                    dest="accum_mode")
     p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--accum-dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="grad accumulator storage dtype (scan mode)")
+    p.add_argument("--ema", action="store_true",
+                   help="enable EMA in the timed step (bf16 storage, stage-3/4 recipe)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "flash", "flash_bthd"],
                    help="attention backend (static module attr)")
     p.add_argument("--moe", default="onehot",
-                   choices=["onehot", "onehot_dots", "gather", "unroll", "batched", "scan"],
+                   choices=["hybrid", "onehot", "onehot_dots", "gather", "unroll", "batched", "scan"],
                    help="EC-MoE dispatch implementation (static module attr)")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--cost-analysis", action="store_true")

@@ -73,7 +73,7 @@ def test_moe_gradients_match_onehot():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("alt", ["scan", "batched", "onehot", "onehot_dots", "gather"])
+@pytest.mark.parametrize("alt", ["scan", "batched", "hybrid", "onehot", "onehot_dots", "gather"])
 def test_moe_dispatch_variants_match_unroll(alt):
     """All dispatch implementations (now static module attributes, not env vars)
     match the unrolled per-expert dots, forward and gradient. scan/unroll are
@@ -214,3 +214,49 @@ def test_moe_capacity_token_count():
     # k = 2.0 * 16 / 4 = 8 tokens/expert; over 4 experts = 32 slots for 16 tokens
     out = jax.jit(moe.apply)(params, x)
     assert out.shape == x.shape
+
+
+def test_dit_forward_grad_consistent_across_dispatch():
+    """Full-model check: a small DiT's loss and param grads are equivalent under
+    the hybrid and unroll dispatch modes (the custom-VJP adjoints are exact)."""
+    from micro_diffusion_tpu.models.dit import DiT
+
+    def build(dispatch):
+        return DiT(
+            input_size=16, patch_size=2, in_channels=4, dim=64, depth=2,
+            head_dim=16, multiple_of=32, caption_channels=32,
+            qkv_multipliers=(1.0,), ffn_multipliers=(2.0,),
+            use_patch_mixer=True, patch_mixer_depth=1, patch_mixer_dim=48,
+            use_bias=False, num_experts=4, expert_capacity=2.0,
+            dtype=jnp.float32, moe_dispatch=dispatch,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16))
+    t = jnp.zeros((2,))
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 8, 32))
+
+    ref_model = build("unroll")
+    params = jax.jit(
+        lambda: ref_model.init({"params": rng, "mask": rng}, x, t, y)
+    )()
+
+    outs = {}
+    for mode in ("unroll", "hybrid"):
+        model = build(mode)
+
+        def loss(pr):
+            out = model.apply(pr, x, t, y)
+            return jnp.sum(jnp.sin(out["sample"]))
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        outs[mode] = (l, g)
+
+    np.testing.assert_allclose(
+        float(outs["hybrid"][0]), float(outs["unroll"][0]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(outs["unroll"][1]),
+                    jax.tree.leaves(outs["hybrid"][1])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

@@ -372,3 +372,41 @@ def test_build_optimizer_low_precision_moments():
     # both moments stored in bf16
     mus = [l for l in jax.tree.leaves(state.opt_state) if l.dtype == jnp.bfloat16]
     assert len(mus) > 0
+
+
+def test_bf16_grad_accumulation_close_to_fp32():
+    """bf16 accumulator storage (the single-chip XL configuration - the fp32
+    params-sized carry does not fit next to fp32 params + moments on 16GB) must
+    track fp32 accumulation within bf16 rounding: same rng path, same microbatch
+    split, only the running-sum dtype differs; the mean/clip/update math is fp32
+    in both."""
+    model = micro_model(train_mask_ratio=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    sched = cosine_with_warmup(1e-3, 10, 1000, 0.0)
+    tx = build_optimizer(params, sched)
+    batch = make_batch(8)
+    rng = jax.random.PRNGKey(7)
+
+    outs = {}
+    for name, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        state = create_train_state(params, tx)
+        step = jax.jit(
+            make_train_step(model, tx, sched, microbatch_size=2, accum_dtype=dt)
+        )
+        new_state, metrics = step(state, batch, rng)
+        outs[name] = (new_state, metrics)
+
+    m32, m16 = outs["fp32"][1], outs["bf16"][1]
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=1e-5)
+    # grad norm: bf16 sum of 4 microbatch grads -> ~2^-8 relative rounding
+    np.testing.assert_allclose(
+        float(m16["grad_norm"]), float(m32["grad_norm"]), rtol=2e-2
+    )
+    p32 = jax.tree.leaves(outs["fp32"][0].params)
+    p16 = jax.tree.leaves(outs["bf16"][0].params)
+    for a, b in zip(p32, p16):
+        # AdamW normalizes grads by sqrt(v): parameter updates are O(lr), so the
+        # bf16 rounding of the accumulator perturbs params by <<lr per step
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=0
+        )
