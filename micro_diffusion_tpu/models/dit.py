@@ -95,6 +95,7 @@ class DiTBlock(nn.Module):
     expert_capacity: float
     moe_remat_experts: bool = False
     ffn_remat_hidden: bool = False
+    attn_remat_proj: bool = False
     moe_dispatch: str = "onehot"
     attn_impl: str = "auto"
     dtype: Any = jnp.bfloat16
@@ -132,6 +133,7 @@ class DiTBlock(nn.Module):
             proj_init=normal_init(init_std),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat_proj=self.attn_remat_proj,
             name="attn",
         )(h)
         x = x + gate_msa[:, None, :] * h
@@ -147,6 +149,7 @@ class DiTBlock(nn.Module):
             proj_init=normal_init(init_std),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat_proj=self.attn_remat_proj,
             name="cross_attn",
         )(h, y)
 
@@ -310,6 +313,14 @@ class DiT(nn.Module):
         # (FeedForward.remat_hidden). Needed at 512px mask-0, where saving these
         # exceeds one chip's HBM.
         base_policy = self.remat_policy
+        # '_alean': emit the attention qkv/q/kv/out projections lean so dots
+        # policies skip saving them (the pre-norm qkv dot output is the largest
+        # per-block saved tensor at 512px; its recompute reads only the
+        # block-boundary input). Composes with _lean/_xlean: e.g.
+        # 'dots_attn_moe_xlean_alean'.
+        attn_lean = base_policy.endswith("_alean")
+        if attn_lean:
+            base_policy = base_policy[: -len("_alean")]
         ffn_lean = base_policy.endswith("_xlean")
         if ffn_lean:
             base_policy = base_policy[: -len("_xlean")]
@@ -325,7 +336,7 @@ class DiT(nn.Module):
                 # most DMA-heavy subgraphs (the MoE dispatch gathers and the
                 # attention chains) - the stage-1 profile is copy/DMA-bound.
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "attn_out", "moe_out"
+                    "attn_out", "xattn_out", "moe_out"
                 )
             elif base_policy == "dots_attn_moe":
                 # 'dots' misses two recompute-heavy hot spots: pallas attention
@@ -333,11 +344,16 @@ class DiT(nn.Module):
                 # expert einsums (batched over the expert dim, so excluded by
                 # no_batch_dims). Save those by name too - the values are tagged
                 # via checkpoint_name in ops/attention.py and models/layers.py.
+                saved_names = ["attn_out", "moe_out"]
+                if not attn_lean:
+                    # '_alean' recomputes cross-attention in the backward (its
+                    # kv is the 77-token caption side - cheap), freeing the
+                    # 16MB-per-site xattn_out saves on top of the lean
+                    # projections.
+                    saved_names.append("xattn_out")
                 policy = jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names(
-                        "attn_out", "moe_out"
-                    ),
+                    jax.checkpoint_policies.save_only_these_names(*saved_names),
                 )
             else:
                 policy = None
@@ -367,6 +383,7 @@ class DiT(nn.Module):
                     expert_capacity=self.expert_capacity,
                     moe_remat_experts=moe_lean,
                     ffn_remat_hidden=ffn_lean,
+                    attn_remat_proj=attn_lean,
                     moe_dispatch=self.moe_dispatch,
                     attn_impl=self.attention_impl,
                     dtype=self.dtype,
@@ -413,6 +430,7 @@ class DiT(nn.Module):
                 expert_capacity=self.expert_capacity,
                 moe_remat_experts=moe_lean,
                 ffn_remat_hidden=ffn_lean,
+                attn_remat_proj=attn_lean,
                 moe_dispatch=self.moe_dispatch,
                 attn_impl=self.attention_impl,
                 dtype=self.dtype,

@@ -471,6 +471,30 @@ class FeedForwardECMoe(nn.Module):
 # --------------------------------------------------------------------------------------
 
 
+def _lean_dense(mod: nn.Module, x: jax.Array, *, name: str, features: int,
+                use_bias: bool, kernel_init, dtype, lean: bool) -> jax.Array:
+    """nn.Dense semantics with an optional 'lean' emission: the dot carries a
+    size-1 batch dimension at the jaxpr level so dots_with_no_batch_dims
+    remat policies skip saving its output (XLA's simplifier collapses the
+    dummy batch before codegen). The single compute path both FeedForward and
+    the attention projections share - see FeedForward._linear for why a nested
+    jax.checkpoint can NOT express this."""
+    dense = nn.Dense(
+        features, use_bias=use_bias, kernel_init=kernel_init,
+        bias_init=zeros_init, dtype=dtype, param_dtype=jnp.float32, name=name,
+    )
+    if mod.is_initializing() or not lean:
+        return dense(x)
+    w = mod.variables["params"][name]["kernel"].astype(dtype)
+    xb = x.astype(dtype)[None]
+    y = jax.lax.dot_general(
+        xb, w[None], (((xb.ndim - 1,), (1,)), ((0,), (0,)))
+    )[0]
+    if use_bias:
+        y = y + mod.variables["params"][name]["bias"].astype(dtype)
+    return y
+
+
 class SelfAttention(nn.Module):
     """Self-attention with fused qkv and non-affine QK-LayerNorm over the flattened
     head dims (reference utils.py:144-201)."""
@@ -486,6 +510,12 @@ class SelfAttention(nn.Module):
     # attention backend (ops/attention.py): 'auto' | 'xla' | 'flash' |
     # 'flash_bthd' - a static config attribute, not an env var
     attn_impl: str = "auto"
+    # Emit the qkv/out projections lean (see _lean_dense) so dots-saveable remat
+    # policies don't store them: the pre-norm qkv dot output is the single
+    # largest saved tensor per block at 512px (42MB at mb8) and its backward
+    # recompute only needs the block input, which block-boundary remat saves
+    # anyway. Enabled by the '*_alean' remat policies.
+    remat_proj: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -494,10 +524,10 @@ class SelfAttention(nn.Module):
         head_dim = hidden // self.num_heads
         b, n, _ = x.shape
 
-        qkv = nn.Dense(
-            hidden * 3, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
-            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="qkv",
-        )(x)
+        qkv = _lean_dense(
+            self, x, name="qkv", features=hidden * 3, use_bias=self.qkv_bias,
+            kernel_init=self.qkv_init, dtype=self.dtype, lean=self.remat_proj,
+        )
         qkv = qkv.reshape(b, n, 3, hidden)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -510,10 +540,10 @@ class SelfAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, hidden)
-        return nn.Dense(
-            self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,
-            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="proj",
-        )(out)
+        return _lean_dense(
+            self, out, name="proj", features=self.dim, use_bias=self.qkv_bias,
+            kernel_init=self.proj_init, dtype=self.dtype, lean=self.remat_proj,
+        )
 
 
 class CrossAttention(nn.Module):
@@ -529,6 +559,7 @@ class CrossAttention(nn.Module):
     proj_init: Initializer = xavier_uniform
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"  # see SelfAttention.attn_impl
+    remat_proj: bool = False  # see SelfAttention.remat_proj
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
@@ -539,16 +570,15 @@ class CrossAttention(nn.Module):
         l = cond.shape[-2]
         cond = cond.reshape(b, l, cond.shape[-1])
 
-        q = nn.Dense(
-            hidden, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
-            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
-            name="q_linear",
-        )(x)
-        kv = nn.Dense(
-            hidden * 2, use_bias=self.qkv_bias, kernel_init=self.qkv_init,
-            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32,
-            name="kv_linear",
-        )(cond)
+        q = _lean_dense(
+            self, x, name="q_linear", features=hidden, use_bias=self.qkv_bias,
+            kernel_init=self.qkv_init, dtype=self.dtype, lean=self.remat_proj,
+        )
+        kv = _lean_dense(
+            self, cond, name="kv_linear", features=hidden * 2,
+            use_bias=self.qkv_bias, kernel_init=self.qkv_init, dtype=self.dtype,
+            lean=self.remat_proj,
+        )
         kv = kv.reshape(b, l, 2, hidden)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
@@ -559,12 +589,14 @@ class CrossAttention(nn.Module):
         k = ln("ln_k")(k).reshape(b, l, self.num_heads, head_dim)
         v = v.reshape(b, l, self.num_heads, head_dim)
 
-        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = dot_product_attention(
+            q, k, v, impl=self.attn_impl, ckpt_name="xattn_out"
+        )
         out = out.reshape(b, n, hidden)
-        return nn.Dense(
-            self.dim, use_bias=self.qkv_bias, kernel_init=self.proj_init,
-            bias_init=zeros_init, dtype=self.dtype, param_dtype=jnp.float32, name="proj",
-        )(out)
+        return _lean_dense(
+            self, out, name="proj", features=self.dim, use_bias=self.qkv_bias,
+            kernel_init=self.proj_init, dtype=self.dtype, lean=self.remat_proj,
+        )
 
 
 # --------------------------------------------------------------------------------------

@@ -58,17 +58,23 @@ def dot_product_attention(
     *,
     scale: float | None = None,
     impl: str | None = None,
+    ckpt_name: str = "attn_out",
 ) -> jax.Array:
     """Non-causal multi-head attention, layout (B, T, H, D).
 
     Matches torch ``F.scaled_dot_product_attention(is_causal=False)`` semantics with the
     default ``1/sqrt(head_dim)`` scale (reference utils.py:127-132).
+
+    ``ckpt_name`` tags the output for name-based remat policies; cross-attention
+    passes "xattn_out" so the '*_alean' policies can recompute it in the
+    backward (its kv side is 77 caption tokens - the recompute is cheap, and
+    NOT saving it frees 16MB x ~2/block at 512px).
     """
     impl = impl or "auto"
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return checkpoint_name(
-        _dispatch(q, k, v, scale=scale, impl=impl), "attn_out"
+        _dispatch(q, k, v, scale=scale, impl=impl), ckpt_name
     )
 
 

@@ -120,6 +120,11 @@ class Trainer:
                 "update_interval": max(
                     1, parse_duration(ema.get("update_interval", 1))
                 ),
+                # storage dtype for the EMA param copy; 'bfloat16' is the
+                # single-chip XL configuration (a second fp32 copy does not fit
+                # next to params + moments on 16GB; decay math stays fp32 -
+                # optim.ema_update). Multi-chip recipes shard and keep fp32.
+                "dtype": jnp.dtype(ema["dtype"]) if ema.get("dtype") else None,
             }
 
         # ---------------- mesh + model state
@@ -158,7 +163,10 @@ class Trainer:
 
         self._p_sh = param_shardings(params, self.mesh)
         params = jax.tree.map(jax.device_put, params, self._p_sh)
-        state = create_train_state(params, self.tx, use_ema=self.ema_cfg is not None)
+        state = create_train_state(
+            params, self.tx, use_ema=self.ema_cfg is not None,
+            ema_dtype=self.ema_cfg["dtype"] if self.ema_cfg else None,
+        )
         self._o_sh = opt_state_shardings(state.opt_state, self.mesh)
         state = state.replace(
             opt_state=jax.tree.map(jax.device_put, state.opt_state, self._o_sh)

@@ -199,8 +199,10 @@ def run_profile(args):
     step_fn = jax.jit(make_train_step(model, tx, sched, microbatch_size=None),
                       donate_argnums=(0,))
     batch = make_batch(args.mb, res)
+    t0 = time.time()
     state, metrics = step_fn(state, batch, rng)
     float(metrics["loss"])  # compile + warm
+    log(f"[profile] compile+first step: {time.time() - t0:.0f}s")
 
     trace_dir = os.path.join(os.path.dirname(__file__), "..", "profile_trace",
                              f"{args.stage}_{args.remat}_{args.mb}")
@@ -209,7 +211,10 @@ def run_profile(args):
         for _ in range(3):
             state, metrics = step_fn(state, batch, rng)
         float(metrics["loss"])
+        log("[profile] traced steps done; stopping trace (xplane download "
+            "through the relay can take minutes)...")
 
+    log("[profile] trace written; parsing xplane...")
     planes = summarize_xplane(trace_dir)
     emit({"kind": "profile", "stage": args.stage, "remat": args.remat,
           "mb": args.mb, "planes": planes})
@@ -422,7 +427,7 @@ def run(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="res256_mask75", choices=sorted(STAGES))
-    p.add_argument("--remat", default="full", choices=["full", "dots", "dots_attn_moe", "dots_lean", "dots_attn_moe_lean", "dots_xlean", "dots_attn_moe_xlean", "attn_moe", "none"])
+    p.add_argument("--remat", default="full", choices=["full", "dots", "dots_attn_moe", "dots_lean", "dots_attn_moe_lean", "dots_xlean", "dots_attn_moe_xlean", "dots_attn_moe_alean", "dots_attn_moe_lean_alean", "dots_attn_moe_xlean_alean", "attn_moe", "none"])
     p.add_argument("--mb", type=int, default=64)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],

@@ -22,7 +22,7 @@ STAGES = ["res_256_pretrain", "res_256_finetune", "res_512_pretrain",
 def test_base_recipes_carry_the_tpu_knobs(stage):
     cfg = load_config(CONFIGS, stage)
     assert cfg["model"]["moe_dispatch"] in (
-        "onehot", "onehot_dots", "unroll", "batched", "scan"
+        "hybrid", "onehot", "onehot_dots", "unroll", "batched", "scan", "gather"
     )
     # 7TB-scale recipes must NOT silently fall back to full permutation
     assert cfg["dataset"]["train"]["shuffle_algo"] == "block"

@@ -260,3 +260,44 @@ def test_dit_forward_grad_consistent_across_dispatch():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_alean_remat_policy_matches_full():
+    """'_alean' (attention projections emitted lean) must not change numerics:
+    loss and grads equal the plain policy; only which activations remat saves
+    differs."""
+    from micro_diffusion_tpu.models.dit import DiT
+
+    def build(policy):
+        return DiT(
+            input_size=16, patch_size=2, in_channels=4, dim=64, depth=2,
+            head_dim=16, multiple_of=32, caption_channels=32,
+            qkv_multipliers=(1.0,), ffn_multipliers=(2.0,),
+            use_patch_mixer=True, patch_mixer_depth=1, patch_mixer_dim=48,
+            use_bias=False, num_experts=4, expert_capacity=2.0,
+            dtype=jnp.float32, remat=True, remat_policy=policy,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16))
+    t = jnp.zeros((2,))
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 8, 32))
+    params = jax.jit(
+        lambda: build("dots_attn_moe").init({"params": rng, "mask": rng}, x, t, y)
+    )()
+
+    outs = {}
+    for policy in ("dots_attn_moe", "dots_attn_moe_xlean_alean"):
+        model = build(policy)
+
+        def loss(pr):
+            return jnp.sum(jnp.sin(model.apply(pr, x, t, y)["sample"]))
+
+        outs[policy] = jax.jit(jax.value_and_grad(loss))(params)
+
+    a, b = outs["dots_attn_moe"], outs["dots_attn_moe_xlean_alean"]
+    np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-6)
+    for ga, gb in zip(jax.tree.leaves(a[1]), jax.tree.leaves(b[1])):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6
+        )
