@@ -59,10 +59,26 @@ def stage_fwd_gflops_per_sample(latent_res: int, mask_ratio: float) -> float:
     return STAGE_FWD_GFLOPS[(latent_res, mask_ratio)]
 
 # Per-stage EMA config from the reference recipes (stages 3/4 only;
-# res_512_pretrain.yaml / res_512_finetune.yaml).
+# res_512_pretrain.yaml:4-9 / res_512_finetune.yaml:4-9): smoothing,
+# update_interval 1ba, and ema_start as a fraction of the stage's steps.
+# ema_start matters on a 16GB chip: the bf16 EMA buffer (2.33GB) only exists
+# after ema_start, so the FIRST 25000/50000 steps of res512_mask75 run without
+# it - a faithful two-phase stage with a faster pre-EMA config. res512_mask0's
+# pre-phase is 1000/55000 steps (1.8%) - benched as all-EMA (conservative).
 STAGE_EMA = {
-    "res512_mask75": 0.99975,
-    "res512_mask0": 0.9975,
+    "res512_mask75": {"smoothing": 0.99975, "start_frac": 25_000 / 50_000},
+    "res512_mask0": {"smoothing": 0.9975, "start_frac": 1_000 / 55_000},
+}
+
+# Pre-EMA-phase ladders for stages whose ema_start splits the schedule
+# materially. No EMA buffer -> the bf16 grad accumulator (2.33GB) can fit,
+# so these rungs reach for recipe accumulation first.
+PRE_EMA_LADDERS = {
+    "res512_mask75": (
+        ("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 8, "onehot"),
+        ("dots_attn_moe", 16, "gather"), ("attn_moe", 32, "onehot"),
+        ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4),
+    ),
 }
 
 # Reference per-rank batch: 2048 global / 8 ranks (train.py:50). The recipe
@@ -77,30 +93,42 @@ PER_RANK_BATCH = 256
 # peak HBM but slower expert dots - it is the 512px mask-0 fallback (PERF.md).
 STAGES = [
     # measured round 3: onehot (fused Pallas MoE) attn_moe mb128 190.4 img/s
-    # bare > round-2 best unroll attn_moe mb128 174.3 > full mb128 170.5
+    # bare > hybrid ~same-HLO-family > round-2 best unroll 174.3 > full 170.5.
+    # mb256 == the full per-rank batch: K=1 IS the recipe step (optimizer fully
+    # amortized), so it leads if it fits.
     ("res256_mask75", 32, 0.75, 250_000,
-     (("attn_moe", 128, "onehot"), ("attn_moe", 128), ("full", 128),
-      ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64), ("dots", 64),
-      ("dots_attn_moe_lean", 64), ("full", 64), ("full", 32), ("full", 16))),
-    # measured round 3: onehot dots_attn_moe mb16 89.5 bare > round-2 unroll
-    # dots_attn_moe mb16 84.6-86.9 ~= attn_moe mb32 84.7
+     (("attn_moe", 256, "onehot"), ("attn_moe", 128, "onehot"),
+      ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
+      ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
+      ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
+    # measured round 3: onehot dots_attn_moe mb16 89.5 bare > hybrid 87.1 >
+    # round-2 unroll 84.6-86.9 ~= attn_moe mb32 84.7
     ("res256_mask0", 32, 0.0, 30_000,
-     (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16),
+     (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "hybrid"),
+      ("dots_attn_moe", 16),
       ("attn_moe", 32, "onehot"), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
-    # measured round 3: onehot dots_attn_moe mb16 58.3 bare > gather 55.8 >
-    # round-2 attn_moe mb32 53.5 ~= lean mb16 53.4
+    # EMA (0.99975) is IN the benched step for the 512px stages; at 512px the
+    # bf16 EMA copy only fits next to the saved activations under the alean
+    # family (fit ladder in PERF.md) - non-alean rungs are pre-EMA fallbacks.
     ("res512_mask75", 64, 0.75, 50_000,
-     (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "gather"),
-      ("attn_moe", 32), ("dots_attn_moe_lean", 16),
+     (("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
+      ("dots_attn_moe_alean", 16, "onehot"),
+      ("dots_attn_moe_alean", 16, "hybrid"),
+      ("dots_attn_moe_xlean_alean", 16, "hybrid"),
+      ("dots_attn_moe", 16, "onehot"),
+      ("dots_attn_moe", 16, "gather"),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
-     # measured round 3: onehot mb8 22.1 bare > gather mb8 21.6 > round-2
-     # batched mb8 21.4 > xlean-unroll mb8 20.7; mb16 needs 19.8G > 15.75G HBM
-     # even at xlean - not reachable on one chip
-     (("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 8, "gather"),
-      ("dots_attn_moe", 8, "batched"), ("dots_attn_moe_xlean", 8), ("full", 8),
-      ("full", 4), ("full", 2))),
+     # measured fit at mb8 + bf16 EMA: dots_attn_moe 17.08G > alean 15.96G >
+     # xlean_alean 15.84G, all pre-xattn-lean; with xattn_out unsaved the alean
+     # family drops another ~0.5G under the 15.75G capacity
+     (("dots_attn_moe_alean", 8, "onehot"),
+      ("dots_attn_moe_alean", 8, "hybrid"),
+      ("dots_attn_moe_xlean_alean", 8, "hybrid"),
+      ("dots_attn_moe", 8, "onehot"),
+      ("dots_attn_moe", 8, "gather"), ("dots_attn_moe", 8, "batched"),
+      ("dots_attn_moe_xlean", 8), ("full", 8), ("full", 4), ("full", 2))),
 ]
 
 
@@ -161,7 +189,7 @@ def _time_step(step_fn, state, batch, rng, timed_steps, label):
 
 
 def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
-                moe_dispatch="onehot"):
+                moe_dispatch="onehot", use_ema=True, accum_pref=None):
     """One ladder rung: build state, compile, time the RECIPE step semantics.
 
     The timed step is the reference's per-rank optimizer step: EMA on for
@@ -182,7 +210,7 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         latent_scale=1.0,
     )
     rng = jax.random.PRNGKey(0)
-    ema = STAGE_EMA.get(name)
+    ema = STAGE_EMA[name]["smoothing"] if (use_ema and name in STAGE_EMA) else None
     log(f"[{name}] creating XL params (remat={policy}, mb={mb}, "
         f"ema={'on' if ema else 'off'})...")
     params = fast_params(model, rng)
@@ -230,8 +258,18 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # fits, the stage reports the K=1 number and marks accumulation
     # infeasible: the K=1 step IS a valid single-chip training step (update
     # every mb images), just not the reference's 2048-batch semantics.
+    # accum_pref prunes the K=2 dtype ladder: "bf16" skips the fp32 attempt
+    # (measured OOM on this chip for every XL stage - each skipped attempt
+    # saves a 2-3 min compile), "none" skips K-probing entirely (known-OOM
+    # rungs report the honest K=1 marker directly).
+    attempts = ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16"))
+    if accum_pref == "bf16":
+        attempts = ((jnp.bfloat16, "bf16"),)
+    elif accum_pref == "none":
+        attempts = ()
+        log(f"[{name}] K-probing skipped (known-OOM accumulator)")
     dt2 = loss2 = acc_tag = None
-    for acc_dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+    for acc_dtype, tag in attempts:
         try:
             step2 = jax.jit(
                 make_train_step(model, tx, sched, microbatch_size=mb,
@@ -263,7 +301,8 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     return recipe_img_s, bare_img_s, mb, f"scan_k{k_recipe}_{acc_tag}"
 
 
-def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
+def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps,
+                use_ema=True):
     # NOTE: compile-time OOM projections are deterministic per compile-service
     # instance, but DIFFER across service restarts (the stage-1 best config
     # compiled and ran under one instance and was 680MB over HBM under the
@@ -274,10 +313,11 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps):
         # MoE dispatch is a static module attribute (models/layers.py), passed
         # through the factory - NOT an env var (round-2 advisor finding).
         moe = cfg[2] if len(cfg) > 2 else "unroll"
+        accum_pref = cfg[3] if len(cfg) > 3 else None
         try:
             recipe_img_s, bare_img_s, mb, accum = _run_config(
                 name, latent_res, mask_ratio, policy, mb, timed_steps,
-                moe_dispatch=moe,
+                moe_dispatch=moe, use_ema=use_ema, accum_pref=accum_pref,
             )
             return recipe_img_s, bare_img_s, mb, policy, moe, accum
         except Exception as e:  # OOM / remote-compile 500 -> next config
@@ -302,16 +342,39 @@ def main():
         img_s, bare, mb, policy, moe, accum = bench_stage(
             name, res, mask, ladder, timed_steps
         )
+        detail = {
+            "bare_step_img_per_sec": bare,
+            "microbatch": mb, "remat": policy, "moe_dispatch": moe,
+            "ema": name in STAGE_EMA,
+            "accum": accum,
+        }
+        # Two-phase stage: before ema_start the EMA buffer doesn't exist
+        # (reference ema_start semantics), so that fraction of the schedule
+        # runs the pre-EMA ladder; the stage number is the step-weighted
+        # harmonic combination.
+        start_frac = STAGE_EMA.get(name, {}).get("start_frac", 0.0)
+        if name in PRE_EMA_LADDERS and start_frac >= 0.05:
+            pre_img_s, pre_bare, pre_mb, pre_policy, pre_moe, pre_accum = (
+                bench_stage(name, res, mask, PRE_EMA_LADDERS[name],
+                            timed_steps, use_ema=False)
+            )
+            img_s = 1.0 / (
+                start_frac / pre_img_s + (1.0 - start_frac) / img_s
+            )
+            detail["pre_ema_phase"] = {
+                "frac": round(start_frac, 3),
+                "img_per_sec_per_chip": round(pre_img_s, 2),
+                "bare_step_img_per_sec": round(pre_bare, 2),
+                "microbatch": pre_mb, "remat": pre_policy,
+                "moe_dispatch": pre_moe, "accum": pre_accum,
+            }
         # MFU: model FLOPs (3x fwd, excluding remat recompute) / peak
         mfu = 3 * stage_fwd_gflops_per_sample(res, mask) * img_s / (
             V5E_PEAK_BF16_TFLOPS * 1e3
         )
         results[name] = {
             "img_per_sec_per_chip": img_s,  # recipe semantics (EMA + accum)
-            "bare_step_img_per_sec": bare,
-            "microbatch": mb, "remat": policy, "moe_dispatch": moe,
-            "ema": name in STAGE_EMA,
-            "accum": accum,
+            **detail,
             "schedule_steps": steps, "est_mfu": round(mfu, 3),
         }
 

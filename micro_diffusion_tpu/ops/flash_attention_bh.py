@@ -7,6 +7,7 @@ kernel (flash_attention.py) intermittently trips the service's HTTP 500s.
 """
 
 import functools
+import math
 from typing import Any
 
 import jax
@@ -14,26 +15,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LOG2E = math.log2(math.e)
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """At D=64 the (Tq, Tk) softmax's VPU passes rival the half-filled MXU dots
+    (arithmetic intensity of softmax vs dots ~ D), so every full-tile
+    elementwise op removed counts. Three reassociations:
+      - the `* scale` pass is folded into the exp2 multiplier c = scale*log2(e)
+        (max commutes with the positive scale, so m is taken unscaled);
+      - exp2 replaces exp (exp lowers to exp2 + a per-element multiply);
+      - normalization divides the (Tq, D) dot OUTPUT by l, never the big tile.
+    (A per-row lse residual for the backward was tried and REVERTED: every
+    legal Mosaic layout for the (Tq,)-shaped stat either violates the
+    minormost-two tile rule or costs a sublane->lane relayout per program;
+    recomputing m/l in the backward measured cheaper than the relayout.)"""
     q = q_ref[0]  # (Tq, D)
     k = k_ref[0]  # (Tk, D)
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tq, Tk)
+    )  # (Tq, Tk) unscaled
+    c = scale * _LOG2E
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2((s - m) * c)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    # Deferred normalization: divide the (Tq, D) dot OUTPUT by l instead of the
-    # (Tq, Tk) probability tile - at D=64 the softmax's big-tile VPU passes are
-    # a first-order cost (arithmetic intensity of softmax vs dots ~ D), so every
-    # full-tile elementwise op removed counts. Same math, reassociated.
     o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float):
     """Normalization-deferred backward: every 1/l and the ds scale factor ride
     the SMALL (T, D) tiles, never the (Tq, Tk) score tile. Derivation (p = e/l
     rowwise, delta = rowsum(p*dp)):
@@ -41,7 +53,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
         ds = p*(dp - delta)*sc = e*(dp - delta_u/l) * (sc/l)
         dq = ds k              = [e*(dp - delta)] k * (sc/l)      (rowwise)
         dk = ds^T q            = [e*(dp - delta)]^T (q * sc/l)    (rowwise in q)
-    Big-tile elementwise work drops from 5 passes + exp to 3 passes + exp."""
+    Big-tile elementwise work: exp2 chain + 3 passes."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -49,9 +61,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
+    c = scale * _LOG2E
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2((s - m) * c)
     l = jnp.sum(e, axis=-1, keepdims=True)
     inv_l = 1.0 / l  # (Tq, 1)
     eb = e.astype(do_ref.dtype)

@@ -381,8 +381,9 @@ def run(args):
         if args.ema:
             # per-stage recipe smoothing, matching bench.py exactly so probe
             # compiles warm the persistent cache for the bench run
+            ema_cfg = bench.STAGE_EMA.get(args.stage)
             step_kwargs = dict(
-                ema_smoothing=bench.STAGE_EMA.get(args.stage, 0.9975),
+                ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
                 ema_start=0, ema_update_interval=1,
             )
         step_fn = jax.jit(
@@ -438,7 +439,7 @@ def main():
     p.add_argument("--ema", action="store_true",
                    help="enable EMA in the timed step (bf16 storage, stage-3/4 recipe)")
     p.add_argument("--attn", default="auto",
-                   choices=["auto", "xla", "flash", "flash_bthd"],
+                   choices=["auto", "xla", "flash", "flash_lane", "flash_bh", "flash_bthd"],
                    help="attention backend (static module attr)")
     p.add_argument("--moe", default="onehot",
                    choices=["hybrid", "onehot", "onehot_dots", "gather", "unroll", "batched", "scan"],

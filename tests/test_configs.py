@@ -34,7 +34,12 @@ def test_single_chip_overlays_are_complete(stage):
     cfg = load_config(os.path.join(CONFIGS, "tpu_v5e_1chip"), stage)
     # tuned knobs all present and reference hyperparameters inherited
     assert cfg["optimizer"]["low_precision_moments"] is True
-    assert cfg["model"]["remat_policy"] in (
+    # '_alean' is a suffix modifier (recompute attention projections +
+    # cross-attention in the backward) stackable on any base policy
+    policy = cfg["model"]["remat_policy"]
+    if policy.endswith("_alean"):
+        policy = policy[: -len("_alean")]
+    assert policy in (
         "full", "dots", "attn_moe", "dots_attn_moe", "dots_attn_moe_lean",
         "dots_attn_moe_xlean",
     )
