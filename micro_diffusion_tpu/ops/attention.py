@@ -29,8 +29,11 @@ from jax.ad_checkpoint import checkpoint_name
 #                  fuses the attention einsums with neighboring ops, which the
 #                  custom-call boundary forfeits. Trust in-step numbers.
 #   'xla'        - fused softmax(QK^T)V einsums
-#   'flash'      - Pallas flash-bh ((B*H, T, D) whole-K programs, fastest
-#                  measured at every MicroDiT shape)
+#   'flash'      - Pallas flash: the lane-packed (B, T, H*D) kernel when
+#                  head_dim==64 and H is even (no relayout copies around the
+#                  custom call), else the bh ((B*H, T, D) whole-K) kernel
+#   'flash_lane' - force the lane-packed kernel (flash_attention_lane.py)
+#   'flash_bh'   - force the (B*H, T, D) whole-K kernel (host transposes)
 #   'flash_bthd' - canonical tiled flash (v5: lse + 2-kernel bwd), scales past
 #                  the whole-K VMEM roof
 
@@ -84,13 +87,23 @@ def _dispatch(q, k, v, *, scale, impl):
         impl = "flash" if (on_tpu and q.shape[1] >= 512) else "xla"
     elif impl == "pallas":  # legacy alias
         impl = "flash"
-    if impl in ("flash", "flash_bthd"):
+    if impl == "flash":
+        # lane-packed variant when it applies: identical MXU work, zero
+        # relayout copies around the custom call (see flash_attention_lane.py)
+        from .flash_attention_lane import supported as lane_supported
+
+        impl = "flash_lane" if lane_supported(q.shape[2], q.shape[3]) else "flash_bh"
+    if impl in ("flash_bh", "flash_bthd", "flash_lane"):
         # interpret mode off-TPU so the flash paths stay testable on CPU
         # (MDT_ATTENTION_INTERPRET=1 forces it for kernel-logic tests on TPU).
         interpret = (not on_tpu) or os.environ.get(
             "MDT_ATTENTION_INTERPRET"
         ) == "1"
-        if impl == "flash":
+        if impl == "flash_lane":
+            from .flash_attention_lane import flash_attention_lane
+
+            return flash_attention_lane(q, k, v, scale, interpret)
+        if impl == "flash_bh":
             from .flash_attention_bh import flash_attention_bh
 
             return flash_attention_bh(q, k, v, scale, interpret)

@@ -118,6 +118,65 @@ def _dx_kernel(x_ref, do_ref, w1_ref, w2_ref, dx_ref, acc_ref):
         dx_ref[...] = acc_ref[...].astype(dx_ref.dtype).reshape(dx_ref.shape)
 
 
+# ---------------------------------------------------------------- fused dx+dw kernel
+
+
+def _dxdw_kernel(x_ref, do_ref, w1_ref, w2_ref, dx_ref, dw1_ref, dw2_ref, acc_ref):
+    """Whole-row-set backward: grid (e, fb) with ALL of the expert's rows resident.
+
+    The split dx/dw kernels each recompute a = x@w1 and dh = do@w2^T, putting the
+    fwd+bwd at 9 dot-units of MXU work vs the ideal 6 (fwd 2 + dx 3 + dw 4). When
+    the full (m, d) row block fits VMEM there is exactly one row block per expert,
+    so dw needs no cross-block accumulation and dx/dw can share one kernel: a and
+    dh are computed ONCE per f-tile and feed the dx accumulation AND both weight
+    grads - 7 dot-units total, and x/do stream from HBM once instead of twice."""
+    fb = pl.program_id(1)
+
+    @pl.when(fb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = x_ref.shape[-1]
+    x = x_ref[...].reshape(-1, d)
+    do = do_ref[...].reshape(-1, d)
+    a = _round_bf16(jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32))
+    dh = jax.lax.dot_general(
+        do, w2_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    da = (_gelu_grad(a) * dh).astype(jnp.bfloat16)
+    h = _gelu_exact(a).astype(jnp.bfloat16)
+    # dx += da @ w1^T  (contract over f; accumulates across fb)
+    acc_ref[...] += jax.lax.dot_general(
+        da, w1_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dw1 = x^T @ da ; dw2 = h^T @ do  (contract over rows; each (e, fb) block is
+    # the complete sum - the whole row set is in this program)
+    dw1_ref[...] = jax.lax.dot_general(
+        x, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dw1_ref.dtype)[None]
+    dw2_ref[...] = jax.lax.dot_general(
+        h, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dw2_ref.dtype)[None]
+
+    @pl.when(fb == pl.num_programs(1) - 1)
+    def _():
+        dx_ref[...] = acc_ref[...].astype(dx_ref.dtype).reshape(dx_ref.shape)
+
+
+def _fused_ft(m: int, d: int, f: int) -> int | None:
+    """f-tile for the fused dx+dw kernel, or None if the whole row set cannot
+    sit in VMEM. Estimate: x/do/dx blocks bf16 + fp32 dx scratch + double-
+    buffered weight/dw blocks + the (m, ft) fp32/bf16 temporaries (a, dh, da, h
+    and gelu-grad intermediates)."""
+    for ft in (512 if f % 512 == 0 else 256, 256):
+        if f % ft:
+            continue
+        need = 6 * m * d + 4 * m * d + 16 * d * ft + 16 * m * ft
+        if need <= _BUDGET:
+            return ft
+    return None
+
+
 # ----------------------------------------------------------------------- dw kernel
 
 
@@ -240,6 +299,31 @@ def _fwd(xg, w1, w2, interpret):
 def _bwd(xg, w1, w2, dout, interpret):
     n, e, k, d = xg.shape
     f = w1.shape[-1]
+    fused_ft = _fused_ft(n * k, d, f)
+    if fused_ft is not None:
+        row = pl.BlockSpec((n, 1, k, d), lambda e, fb: (0, e, 0, 0),
+                           memory_space=pltpu.VMEM)
+        w1s = pl.BlockSpec((1, d, fused_ft), lambda e, fb: (e, 0, fb),
+                           memory_space=pltpu.VMEM)
+        w2s = pl.BlockSpec((1, fused_ft, d), lambda e, fb: (e, fb, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _dxdw_kernel,
+            grid=(e, f // fused_ft),
+            in_specs=[row, row, w1s, w2s],
+            out_specs=[row, w1s, w2s],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, e, k, d), xg.dtype),
+                jax.ShapeDtypeStruct(w1.shape, w1.dtype),
+                jax.ShapeDtypeStruct(w2.shape, w2.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((n * k, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xg, dout, w1, w2)
     s, ft = _tiles(n, k, d, f)
 
     dx = pl.pallas_call(
@@ -374,6 +458,31 @@ def _em_fwd(xg, w1, w2, interpret):
 def _em_bwd(xg, w1, w2, dout, interpret):
     e, m, d = xg.shape
     f = w1.shape[-1]
+    fused_ft = _fused_ft(m, d, f)
+    if fused_ft is not None:
+        row = pl.BlockSpec((1, m, d), lambda e, fb: (e, 0, 0),
+                           memory_space=pltpu.VMEM)
+        w1s = pl.BlockSpec((1, d, fused_ft), lambda e, fb: (e, 0, fb),
+                           memory_space=pltpu.VMEM)
+        w2s = pl.BlockSpec((1, fused_ft, d), lambda e, fb: (e, fb, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _dxdw_kernel,
+            grid=(e, f // fused_ft),
+            in_specs=[row, row, w1s, w2s],
+            out_specs=[row, w1s, w2s],
+            out_shape=[
+                jax.ShapeDtypeStruct((e, m, d), xg.dtype),
+                jax.ShapeDtypeStruct(w1.shape, w1.dtype),
+                jax.ShapeDtypeStruct(w2.shape, w2.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((m, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(xg, dout, w1, w2)
     s, ft = _tiles(m, 1, d, f)
 
     dx = pl.pallas_call(

@@ -140,3 +140,45 @@ def test_bh_variant_gradients_match_xla():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
                                    atol=2e-4)
+
+
+@pytest.mark.parametrize("tq,tk,h", [(256, 256, 4), (128, 77, 16), (1024, 77, 16)])
+def test_lane_variant_forward_matches_xla(tq, tk, h):
+    """Lane-packed (B, T, H*D) kernel (two d=64 heads per program) vs XLA."""
+    from micro_diffusion_tpu.ops.flash_attention_lane import (
+        flash_attention_lane,
+        supported,
+    )
+
+    b, d = 2, 64
+    assert supported(h, d)
+    q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
+    ref = _xla_attention(q, k, v, d**-0.5)
+    out = jax.jit(lambda q, k, v: flash_attention_lane(q, k, v, None, True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_lane_variant_gradients_match_xla():
+    from micro_diffusion_tpu.ops.flash_attention_lane import flash_attention_lane
+
+    b, tq, tk, h, d = 2, 256, 77, 4, 64
+    q, k, v = rand((b, tq, h, d), 0), rand((b, tk, h, d), 1), rand((b, tk, h, d), 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention_lane(q, k, v, None, True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, d**-0.5)))
+
+    g1 = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_lane_variant_odd_heads_unsupported():
+    from micro_diffusion_tpu.ops.flash_attention_lane import supported
+
+    assert not supported(3, 64)   # odd head count cannot pair
+    assert not supported(4, 32)   # only d=64 fills the 128 lanes in pairs

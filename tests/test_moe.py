@@ -147,6 +147,35 @@ def test_moe_ffn_kernel_matches_xla():
         )
 
 
+def test_moe_ffn_kernel_split_bwd_matches_fused():
+    """The fused dx+dw backward (whole row set resident, grid (e, fb)) and the
+    split dx/dw kernels are numerically interchangeable. The split path only
+    runs when the row set overflows VMEM, so force it with a tiny budget."""
+    import micro_diffusion_tpu.ops.moe_ffn as mf
+
+    xg, w1, w2 = _kernel_shapes()
+    assert mf._fused_ft(xg.shape[0] * xg.shape[2], xg.shape[3], w1.shape[-1])
+
+    def loss(a, b, c):
+        return jnp.sum(jnp.sin(mf.moe_ffn(a, b, c, interpret=True).astype(
+            jnp.float32)))
+
+    g_fused = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xg, w1, w2)
+    budget = mf._BUDGET
+    try:
+        mf._BUDGET = 256 * 1024  # force the split dx/dw path
+        assert mf._fused_ft(
+            xg.shape[0] * xg.shape[2], xg.shape[3], w1.shape[-1]) is None
+        g_split = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xg, w1, w2)
+    finally:
+        mf._BUDGET = budget
+    for a, b in zip(g_fused, g_split):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
 def test_moe_ffn_kernel_multi_tile():
     """Grid tiling correctness: multiple row blocks AND multiple f blocks."""
     from micro_diffusion_tpu.ops.moe_ffn import _moe_ffn_ref, moe_ffn
