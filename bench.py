@@ -75,8 +75,8 @@ STAGE_EMA = {
 # so these rungs reach for recipe accumulation first.
 PRE_EMA_LADDERS = {
     "res512_mask75": (
-        ("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 8, "onehot"),
-        ("dots_attn_moe", 16, "gather"), ("attn_moe", 32, "onehot"),
+        ("attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "onehot"),
+        ("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 16, "gather"),
         ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4),
     ),
 }
@@ -108,25 +108,24 @@ STAGES = [
       ("dots_attn_moe", 16),
       ("attn_moe", 32, "onehot"), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
-    # EMA (0.99975) is IN the benched step for the 512px stages; at 512px the
-    # bf16 EMA copy only fits next to the saved activations under the alean
-    # family (fit ladder in PERF.md) - non-alean rungs are pre-EMA fallbacks.
+    # EMA (0.99975) is IN the benched step for the 512px stages. attn_moe
+    # (save ONLY named attn/moe outputs) is both the fastest AND the only
+    # fit next to the bf16 EMA buffer at these resolutions: measured with the
+    # fused MoE bwd + lane flash kernels, attn_moe mb16 onehot + EMA = 59.7
+    # img/s (dots_attn_moe + EMA OOMs; alean family measured 44.3).
     ("res512_mask75", 64, 0.75, 50_000,
-     (("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
+     (("attn_moe", 16, "onehot"), ("attn_moe", 32, "onehot"),
+      ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
-      ("dots_attn_moe_alean", 16, "hybrid"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
-      ("dots_attn_moe", 16, "onehot"),
       ("dots_attn_moe", 16, "gather"),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
-     # measured fit at mb8 + bf16 EMA: dots_attn_moe 17.08G > alean 15.96G >
-     # xlean_alean 15.84G, all pre-xattn-lean; with xattn_out unsaved the alean
-     # family drops another ~0.5G under the 15.75G capacity
-     (("dots_attn_moe_alean", 8, "onehot"),
-      ("dots_attn_moe_alean", 8, "hybrid"),
+     # measured mb8 + bf16 EMA (fused MoE bwd + lane flash): attn_moe onehot
+     # 23.48 img/s; dots_attn_moe + EMA OOMs (16.47G > 15.75G), alean 15.92
+     (("attn_moe", 8, "onehot"), ("attn_moe", 8, "hybrid"),
+      ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
-      ("dots_attn_moe", 8, "onehot"),
       ("dots_attn_moe", 8, "gather"), ("dots_attn_moe", 8, "batched"),
       ("dots_attn_moe_xlean", 8), ("full", 8), ("full", 4), ("full", 2))),
 ]
