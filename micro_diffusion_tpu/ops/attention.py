@@ -22,12 +22,13 @@ from jax.ad_checkpoint import checkpoint_name
 # Attention implementation is a STATIC config choice plumbed from the model
 # (DiT.attention_impl / SelfAttention.attn_impl) - not an env var, so two
 # models traced in one process cannot diverge silently:
-#   'auto'       - flash-bh on TPU for Tq >= 512, XLA below. Isolated fwd+bwd
-#                  micro-benches say flash-bh wins from T=256 up (2.3-2.6x XLA
-#                  at T=1024) but inside the full train step T=256 flash
-#                  REGRESSED (-16% stage 2, round 2): below the crossover XLA
-#                  fuses the attention einsums with neighboring ops, which the
-#                  custom-call boundary forfeits. Trust in-step numbers.
+#   'auto'       - on TPU: the lane-packed kernel at EVERY length when it
+#                  applies (head_dim 64, even H) - in-step it beat the XLA
+#                  path at all MicroDiT shapes once the relayout copies were
+#                  gone (stage 1: 231.4 vs 193.4 img/s). Otherwise flash-bh
+#                  for Tq >= 512 and XLA below: the bh kernel pays T<->H host
+#                  transposes, which in-step erased its isolated-kernel win
+#                  below the crossover (round 2: -16% at stage 2).
 #   'xla'        - fused softmax(QK^T)V einsums
 #   'flash'      - Pallas flash: the lane-packed (B, T, H*D) kernel when
 #                  head_dim==64 and H is even (no relayout copies around the
@@ -83,16 +84,25 @@ def dot_product_attention(
 
 def _dispatch(q, k, v, *, scale, impl):
     on_tpu = jax.default_backend() == "tpu"
+    from .flash_attention_lane import supported as lane_supported
+
+    lane_ok = lane_supported(q.shape[2], q.shape[3])
     if impl == "auto":
-        impl = "flash" if (on_tpu and q.shape[1] >= 512) else "xla"
+        # lane-packed flash wins at EVERY MicroDiT shape (no relayout copies
+        # around the custom call): forcing it at stage 1 (T=64 backbone +
+        # T=256 mixer) measured 231.4 img/s vs 193.4 on the XLA path. The bh
+        # kernel still pays host transposes, so below T=512 it loses to XLA
+        # (round-2 in-step measurement) and only takes over at long T.
+        if on_tpu and lane_ok:
+            impl = "flash_lane"
+        else:
+            impl = "flash" if (on_tpu and q.shape[1] >= 512) else "xla"
     elif impl == "pallas":  # legacy alias
         impl = "flash"
     if impl == "flash":
         # lane-packed variant when it applies: identical MXU work, zero
         # relayout copies around the custom call (see flash_attention_lane.py)
-        from .flash_attention_lane import supported as lane_supported
-
-        impl = "flash_lane" if lane_supported(q.shape[2], q.shape[3]) else "flash_bh"
+        impl = "flash_lane" if lane_ok else "flash_bh"
     if impl in ("flash_bh", "flash_bthd", "flash_lane"):
         # interpret mode off-TPU so the flash paths stay testable on CPU
         # (MDT_ATTENTION_INTERPRET=1 forces it for kernel-logic tests on TPU).
