@@ -111,10 +111,10 @@ STAGES = [
     # EMA (0.99975) is IN the benched step for the 512px stages. attn_moe
     # (save ONLY named attn/moe outputs) is both the fastest AND the only
     # fit next to the bf16 EMA buffer at these resolutions: measured with the
-    # fused MoE bwd + lane flash kernels, attn_moe mb16 onehot + EMA = 59.7
-    # img/s (dots_attn_moe + EMA OOMs; alean family measured 44.3).
+    # fused MoE bwd + lane flash kernels, attn_moe onehot + EMA mb32 = 64.7
+    # img/s > mb16 = 59.7-60.1 (dots_attn_moe + EMA OOMs; alean family 44.3).
     ("res512_mask75", 64, 0.75, 50_000,
-     (("attn_moe", 16, "onehot"), ("attn_moe", 32, "onehot"),
+     (("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
