@@ -92,12 +92,12 @@ PER_RANK_BATCH = 256
 # known-good configs). moe_dispatch 'batched' (the 3-D einsum form) has the lowest
 # peak HBM but slower expert dots - it is the 512px mask-0 fallback (PERF.md).
 STAGES = [
-    # measured round 3: onehot (fused Pallas MoE) attn_moe mb128 190.4 img/s
-    # bare > hybrid ~same-HLO-family > round-2 best unroll 174.3 > full 170.5.
-    # mb256 == the full per-rank batch: K=1 IS the recipe step (optimizer fully
-    # amortized), so it leads if it fits.
+    # measured round 3 (lane flash): attn_moe onehot mb128 bare 231.4 img/s;
+    # mb256 (K=1 IS the recipe step, optimizer in-step) 225.4 ~= the mb128
+    # recipe extrapolation, but its graph takes 27 min to compile vs 4 - so
+    # mb128 leads. Round-2 best unroll was 174.3; full 170.5.
     ("res256_mask75", 32, 0.75, 250_000,
-     (("attn_moe", 256, "onehot"), ("attn_moe", 128, "onehot"),
+     (("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
       ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
       ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
       ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
