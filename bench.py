@@ -101,12 +101,14 @@ STAGES = [
       ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
       ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
       ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
-    # measured round 3: onehot dots_attn_moe mb16 89.5 bare > hybrid 87.1 >
-    # round-2 unroll 84.6-86.9 ~= attn_moe mb32 84.7
+    # measured round 3 (lane flash): attn_moe onehot mb64 102.4 img/s bare ~=
+    # mb32 101.7 > dots_attn_moe mb16 94.5 (the pre-lane-flash leader) >
+    # round-2 unroll 84.6-86.9. mb64 leads: K=4 recipe amortizes the optimizer
+    # hardest, and its compile is the fastest of the probed set (180s).
     ("res256_mask0", 32, 0.0, 30_000,
-     (("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "hybrid"),
-      ("dots_attn_moe", 16),
-      ("attn_moe", 32, "onehot"), ("attn_moe", 32), ("dots_attn_moe_lean", 16),
+     (("attn_moe", 64, "onehot"), ("attn_moe", 32, "onehot"),
+      ("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "hybrid"),
+      ("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
     # EMA (0.99975) is IN the benched step for the 512px stages. attn_moe
     # (save ONLY named attn/moe outputs) is both the fastest AND the only
