@@ -35,7 +35,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from micro_diffusion_tpu.models.diffusion import LatentDiffusion
 from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
-from micro_diffusion_tpu.train import build_optimizer, create_train_state, make_train_step
+from micro_diffusion_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    make_apply_step,
+    make_grad_step,
+    make_train_step,
+    zero_grad_accumulator,
+)
 from micro_diffusion_tpu.train.optim import cosine_with_warmup
 
 # Reference-derived baseline (see module docstring).
@@ -75,7 +82,8 @@ STAGE_EMA = {
 # so these rungs reach for recipe accumulation first.
 PRE_EMA_LADDERS = {
     "res512_mask75": (
-        ("attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "onehot"),
+        ("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
+        ("dots_attn_moe", 16, "onehot"),
         ("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 16, "gather"),
         ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4),
     ),
@@ -250,6 +258,29 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
+    # Split-dispatch accumulation FIRST: K small grad graphs + one apply graph
+    # per optimizer step, timed directly (no extrapolation). The scanned
+    # whole-step accumulation graph 500s the remote compile helper for most XL
+    # stages (service-epoch dependent), while the dispatch graphs are a
+    # fraction of its size and compile reliably; relay dispatch overhead is
+    # measured-zero (PERF.md round 2). bf16 accumulator: the params-sized fp32
+    # carry does not fit single-chip; semantics proven scan-identical in
+    # tests/test_train.py.
+    if accum_pref != "none":
+        try:
+            recipe_img_s, loss_d, state = _time_dispatch_recipe(
+                model, tx, sched, state, mb, k_recipe, latent_res,
+                step_kwargs, rng, name,
+            )
+            log(
+                f"[{name}] remat={policy} mb{mb} dispatch K={k_recipe}: "
+                f"{recipe_img_s:.1f} img/s recipe (bare {bare_img_s:.1f}, "
+                f"loss {loss_d:.4f})"
+            )
+            return recipe_img_s, bare_img_s, mb, f"dispatch_k{k_recipe}_bf16"
+        except Exception as e:  # noqa: BLE001 - OOM surfaces at value fetch
+            log(f"[{name}] dispatch accumulation infeasible: {str(e)[:120]}")
+            gc.collect()
     # K=2 scan-accumulated step: t(K) = t_update + K*t_micro. The recipe step
     # AMORTIZES the optimizer+EMA cost (~39ms for XL) over K microbatches, so
     # at K>=16 it beats the bare step per image. The grad accumulator is a
@@ -300,6 +331,45 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         f"(bare {bare_img_s:.1f}, loss {loss2:.4f})"
     )
     return recipe_img_s, bare_img_s, mb, f"scan_k{k_recipe}_{acc_tag}"
+
+
+def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
+                          step_kwargs, rng, name):
+    """Time the recipe step in split-dispatch mode: K grad dispatches into a
+    donated bf16 accumulator + one optimizer/EMA apply. Returns
+    (recipe_img_s, loss, state); raises on compile/OOM failure."""
+    grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+    apply_fn = jax.jit(make_apply_step(tx, sched, **step_kwargs),
+                       static_argnums=(2,), donate_argnums=(0,))
+    # ONE jitted dispatch for the zeroed accumulator: eagerly materializing
+    # ~10^3 per-tensor zeros costs ~0.15ms/op through the axon relay
+    # (+150-220ms/cycle, measured - it erased the amortization win).
+    zero_fn = jax.jit(
+        lambda p: zero_grad_accumulator(p, jnp.bfloat16)
+    )
+    mbatch = _make_batch(mb, latent_res)
+
+    def cycle(state, i):
+        acc = zero_fn(state.params)
+        r = jax.random.fold_in(rng, i)
+        for idx in range(k_recipe):
+            acc = grad_fn(state.params, acc, mbatch, r, idx)
+        return apply_fn(state, acc, k_recipe)
+
+    t0 = time.time()
+    state, m = cycle(state, 0)
+    float(m["loss"])  # value fetch = the only reliable barrier (relay)
+    log(f"[{name}] dispatch K={k_recipe} compile+first cycle: "
+        f"{time.time() - t0:.0f}s")
+    state, m = cycle(state, 1)
+    float(m["loss"])  # warmup
+    cycles = 2 if k_recipe >= 8 else 4
+    t0 = time.time()
+    for i in range(cycles):
+        state, m = cycle(state, 2 + i)
+    loss = float(m["loss"])
+    t_full = (time.time() - t0) / cycles
+    return k_recipe * mb / t_full, loss, state
 
 
 def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps,

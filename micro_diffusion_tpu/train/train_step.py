@@ -152,7 +152,8 @@ def make_train_step(
 
 def make_grad_step(model: Any) -> Callable:
     """Split-dispatch gradient accumulation, part 1: one microbatch's grads added
-    into an fp32 accumulator (donate the accumulator for in-place update).
+    into an accumulator (donate the accumulator for in-place update; its dtype is
+    set by zero_grad_accumulator - fp32, or bf16 to fit single-chip XL).
 
     Semantically identical to the lax.scan accumulation in make_train_step, but each
     dispatch compiles a much smaller graph - the robust path on toolchains that
@@ -170,7 +171,7 @@ def make_grad_step(model: Any) -> Callable:
         acc_loss, acc_grads = acc
         return (
             acc_loss + loss,
-            jax.tree.map(lambda a, g: a + g.astype(jnp.float32), acc_grads, grads),
+            jax.tree.map(lambda a, g: a + g.astype(a.dtype), acc_grads, grads),
         )
 
     return grad_step
@@ -190,7 +191,9 @@ def make_apply_step(
     def apply_step(state: TrainState, acc, n: int):
         loss_sum, grad_sum = acc
         loss = loss_sum / n
-        grads = jax.tree.map(lambda g: g / n, grad_sum)
+        # fp32 update math regardless of accumulator storage dtype - mirrors the
+        # scan path's `g.astype(f32) / n` exactly so both modes are equivalent
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
@@ -213,11 +216,16 @@ def make_apply_step(
     return apply_step
 
 
-def zero_grad_accumulator(params: Any):
-    """Fresh (loss_sum, grad_sum) accumulator for make_grad_step."""
+def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):
+    """Fresh (loss_sum, grad_sum) accumulator for make_grad_step.
+
+    dtype=bf16 halves the accumulator's HBM (params-sized): on one 16GB chip the
+    XL state (fp32 params + bf16 moments + bf16 EMA) leaves no room for an fp32
+    carry, and the bwd-transient grads it replaces were bf16 anyway - same
+    storage precision as the scan path's accum_dtype=bf16. Loss sum stays fp32."""
     return (
         jnp.zeros((), jnp.float32),
-        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        jax.tree.map(lambda p: jnp.zeros(p.shape, dtype), params),
     )
 
 

@@ -348,16 +348,28 @@ def run(args):
     if args.accum > 1 and args.accum_mode == "dispatch":
         # split-dispatch accumulation: k small grad graphs + one apply graph
         # (the scanned whole-step graph crashes the remote compile helper)
+        apply_kwargs = {}
+        if args.ema:
+            ema_cfg = bench.STAGE_EMA.get(args.stage)
+            apply_kwargs = dict(
+                ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
+                ema_start=0, ema_update_interval=1,
+            )
+        acc_dtype = jnp.bfloat16 if args.accum_dtype == "bf16" else jnp.float32
         grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
-        apply_fn = jax.jit(make_apply_step(tx, sched), static_argnums=(2,),
-                           donate_argnums=(0,))
+        apply_fn = jax.jit(make_apply_step(tx, sched, **apply_kwargs),
+                           static_argnums=(2,), donate_argnums=(0,))
         mbatch = make_batch(args.mb, res)
         # python-side step counter: folding rng with the traced state.step would be
         # an eager op (slow through the remote-compile relay)
         pystep = [0]
 
+        # one jitted dispatch: eager per-tensor zeros cost ~0.15ms each
+        # through the relay (~10^3 tensors erased the amortization win)
+        zero_fn = jax.jit(lambda p: zero_grad_accumulator(p, acc_dtype))
+
         def step_cycle(state):
-            acc = zero_grad_accumulator(state.params)
+            acc = zero_fn(state.params)
             r = jax.random.fold_in(rng, pystep[0])
             pystep[0] += 1
             for idx in range(args.accum):

@@ -241,6 +241,58 @@ def test_split_dispatch_accumulation_matches_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_split_dispatch_bf16_accumulator_matches_scan_bf16():
+    """Dispatch mode with a bf16 accumulator (the single-chip XL configuration:
+    no HBM room for an fp32 carry next to fp32 params + bf16 moments + bf16 EMA)
+    must match the scan path's accum_dtype=bf16 bit-for-bit: same add order,
+    same storage rounding, same fp32 mean/update math - and EMA must update in
+    the apply step, not the grad steps."""
+    from micro_diffusion_tpu.train import (
+        make_apply_step,
+        make_grad_step,
+        zero_grad_accumulator,
+    )
+
+    model = micro_model()
+    params = model.init(jax.random.PRNGKey(0))
+    sched = constant_schedule(1e-3)
+    tx = build_optimizer(params, sched, clip_norm=0.5)
+    batch = make_batch(8)
+    base_rng = jax.random.PRNGKey(7)
+
+    state_a = create_train_state(params, tx, use_ema=True)
+    fused = jax.jit(
+        make_train_step(model, tx, sched, microbatch_size=4,
+                        accum_dtype=jnp.bfloat16, ema_smoothing=0.99)
+    )
+    state_a, metrics_a = fused(state_a, batch, base_rng)
+
+    state_b = create_train_state(params, tx, use_ema=True)
+    grad_step = jax.jit(make_grad_step(model), donate_argnums=(1,))
+    apply_step = jax.jit(
+        make_apply_step(tx, sched, ema_smoothing=0.99), static_argnums=(2,)
+    )
+    rng = jax.random.fold_in(base_rng, state_b.step)
+    acc = zero_grad_accumulator(params, jnp.bfloat16)
+    assert all(
+        g.dtype == jnp.bfloat16 for g in jax.tree.leaves(acc[1])
+    )
+    for idx in range(2):
+        mb = jax.tree.map(lambda x: x[idx * 4 : (idx + 1) * 4], batch)
+        acc = grad_step(state_b.params, acc, mb, rng, idx)
+    state_b, metrics_b = apply_step(state_b, acc, 2)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state_a.ema_params),
+                    jax.tree.leaves(state_b.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_train_step_8_devices():
     """Full train step jitted over a (data=2, fsdp=2, tensor=2) mesh: dp grad sync,
     ZeRO-2 opt-state sharding, and expert-parallel MoE tensors."""
