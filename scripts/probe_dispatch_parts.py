@@ -78,10 +78,9 @@ def main():
     float(acc[0])
     print(f"grad compile+first: {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
-    state2, m = apply_fn(state, acc, args.accum)
+    state, m = apply_fn(state, acc, args.accum)  # donates old state
     float(m["loss"])
     print(f"apply compile+first: {time.time() - t0:.0f}s", flush=True)
-    del state2
 
     # t_grad: N back-to-back grad dispatches, value-fetch barrier at the end
     n = 6
