@@ -123,8 +123,13 @@ STAGES = [
     # fit next to the bf16 EMA buffer at these resolutions: measured with the
     # fused MoE bwd + lane flash kernels, attn_moe onehot + EMA mb32 = 64.7
     # img/s > mb16 = 59.7-60.1 (dots_attn_moe + EMA OOMs; alean family 44.3).
+    # accum_pref "none" on the EMA-phase lead rungs: with the bf16 EMA buffer
+    # resident, the bf16 grad accumulator OOMs the chip at RUNTIME (measured
+    # RESOURCE_EXHAUSTED for both dispatch and scan) - device-HBM OOM is
+    # deterministic, so skip the doomed compiles. The pre-EMA phase (no EMA
+    # buffer) accumulates fine (PRE_EMA_LADDERS).
     ("res512_mask75", 64, 0.75, 50_000,
-     (("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
+     (("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
@@ -133,7 +138,7 @@ STAGES = [
     ("res512_mask0", 64, 0.0, 55_000,
      # measured mb8 + bf16 EMA (fused MoE bwd + lane flash): attn_moe onehot
      # 23.48 img/s; dots_attn_moe + EMA OOMs (16.47G > 15.75G), alean 15.92
-     (("attn_moe", 8, "onehot"), ("attn_moe", 8, "hybrid"),
+     (("attn_moe", 8, "onehot", "none"), ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
       ("dots_attn_moe", 8, "gather"), ("dots_attn_moe", 8, "batched"),
