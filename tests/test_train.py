@@ -293,6 +293,33 @@ def test_split_dispatch_bf16_accumulator_matches_scan_bf16():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bench_dispatch_recipe_leg(monkeypatch):
+    """bench._time_dispatch_recipe (the recipe-accumulation leg the real
+    benchmark runs when scanned graphs won't compile) executes end-to-end:
+    K grad dispatches + jitted zeroing + apply, returns finite throughput."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import bench
+
+    model = micro_model()
+    params = model.init(jax.random.PRNGKey(0))
+    sched = constant_schedule(1e-3)
+    tx = build_optimizer(params, sched, clip_norm=0.5)
+    state = create_train_state(params, tx, use_ema=True,
+                               ema_dtype=jnp.bfloat16)
+    monkeypatch.setattr(bench, "_make_batch", lambda mb, res: make_batch(mb))
+    img_s, loss, state = bench._time_dispatch_recipe(
+        model, tx, sched, state, mb=4, k_recipe=2, latent_res=16,
+        step_kwargs=dict(ema_smoothing=0.99, ema_start=0,
+                         ema_update_interval=1),
+        rng=jax.random.PRNGKey(3), name="test",
+    )
+    assert img_s > 0 and np.isfinite(loss)
+    assert int(state.step) >= 4  # one cycle per timed iteration + warmups
+
+
 def test_sharded_train_step_8_devices():
     """Full train step jitted over a (data=2, fsdp=2, tensor=2) mesh: dp grad sync,
     ZeRO-2 opt-state sharding, and expert-parallel MoE tensors."""
