@@ -243,6 +243,15 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
                                ema_dtype=jnp.bfloat16)
     del params
 
+    def _fresh_state():
+        # Rebuild after a FAILED accumulation attempt: jits here donate the
+        # TrainState, so a runtime failure (OOM at the value fetch) leaves
+        # the old state's buffers deleted - reusing it would make every
+        # subsequent attempt fail with 'Array has been deleted'.
+        p = fast_params(model, rng)
+        return create_train_state(p, tx, use_ema=ema is not None,
+                                  ema_dtype=jnp.bfloat16)
+
     k_recipe = max(1, PER_RANK_BATCH // mb)
     step_kwargs = {}
     if ema is not None:
@@ -285,7 +294,9 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
             return recipe_img_s, bare_img_s, mb, f"dispatch_k{k_recipe}_bf16"
         except Exception as e:  # noqa: BLE001 - OOM surfaces at value fetch
             log(f"[{name}] dispatch accumulation infeasible: {str(e)[:120]}")
+            state = None
             gc.collect()
+            state = _fresh_state()
     # K=2 scan-accumulated step: t(K) = t_update + K*t_micro. The recipe step
     # AMORTIZES the optimizer+EMA cost (~39ms for XL) over K microbatches, so
     # at K>=16 it beats the bare step per image. The grad accumulator is a
@@ -321,7 +332,9 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
             break
         except Exception as e:  # noqa: BLE001 - OOM/compile fail at value fetch
             log(f"[{name}] K=2 {tag}-accum infeasible: {str(e)[:120]}")
+            state = None
             gc.collect()
+            state = _fresh_state()
     if dt2 is None:
         return bare_img_s, bare_img_s, mb, "infeasible_single_chip"
     t_micro = dt2 - dt1  # one fwd+bwd+accumulate leg

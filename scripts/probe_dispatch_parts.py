@@ -94,20 +94,23 @@ def main():
     t_grad = (time.time() - t0) / n
     print(f"t_grad = {t_grad * 1e3:.1f} ms/dispatch (x{n})", flush=True)
 
-    # t_apply: apply alone, repeated (state donated through)
-    t0 = time.time()
+    # t_apply: barrier before AND after each apply so nothing else is in
+    # flight inside the timed window (the zero/grad prep is fetched first)
     reps = 3
+    t_apply_total = 0.0
     for _ in range(reps):
-        state, m = apply_fn(state, acc, args.accum)
         acc = zero_fn(state.params)
         acc = grad_fn(state.params, acc, mbatch, rng, 0)
-    float(m["loss"])
-    t_pair = (time.time() - t0) / reps
-    print(f"t_apply+1grad = {t_pair * 1e3:.1f} ms -> t_apply ~= "
-          f"{(t_pair - t_grad) * 1e3:.1f} ms", flush=True)
+        float(acc[0])
+        t0 = time.time()
+        state, m = apply_fn(state, acc, args.accum)
+        float(m["loss"])
+        t_apply_total += time.time() - t0
+    t_apply = t_apply_total / reps
+    print(f"t_apply = {t_apply * 1e3:.1f} ms", flush=True)
 
     k = args.accum
-    cyc = k * t_grad + (t_pair - t_grad)
+    cyc = k * t_grad + t_apply
     print(f"projected K={k} cycle: {cyc * 1e3:.1f} ms = "
           f"{k * args.mb / cyc:.1f} img/s", flush=True)
 
