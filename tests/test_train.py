@@ -371,6 +371,53 @@ def test_sharded_train_step_8_devices():
     assert int(state.step) == 2
 
 
+def test_sharded_dispatch_accumulation_matches_fused():
+    """Split-dispatch accumulation under the (data=2, fsdp=2, tensor=2) mesh:
+    the grad/apply jits inherit shardings from the committed state, and one
+    K=2 cycle matches the fused scan step's loss and params - dispatch mode
+    is the compile-robust path on multi-chip too, so prove it there."""
+    assert jax.device_count() == 8
+    from micro_diffusion_tpu.train import (
+        make_apply_step,
+        make_grad_step,
+        zero_grad_accumulator,
+    )
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    model = micro_model()
+    params = model.init(jax.random.PRNGKey(0))
+    sched = constant_schedule(1e-3)
+    tx = build_optimizer(params, sched, clip_norm=0.5)
+    p_sh = param_shardings(params, mesh)
+    params = jax.tree.map(jax.device_put, params, p_sh)
+    batch = make_batch(8)
+    base_rng = jax.random.PRNGKey(7)
+
+    # fused scan step, sharded
+    state_a = create_train_state(params, tx)
+    fused = jax.jit(make_train_step(model, tx, sched, microbatch_size=4))
+    state_a, metrics_a = fused(state_a, batch, base_rng)
+
+    # dispatch cycle on the same sharded params
+    state_b = create_train_state(params, tx)
+    grad_step = jax.jit(make_grad_step(model))
+    apply_step = jax.jit(make_apply_step(tx, sched), static_argnums=(2,))
+    zero_fn = jax.jit(lambda p: zero_grad_accumulator(p))
+    rng = jax.random.fold_in(base_rng, state_b.step)
+    acc = zero_fn(state_b.params)
+    for idx in range(2):
+        mb = jax.tree.map(lambda x: x[idx * 4 : (idx + 1) * 4], batch)
+        acc = grad_step(state_b.params, acc, mb, rng, idx)
+    state_b, metrics_b = apply_step(state_b, acc, 2)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_eval_step():
     model = micro_model()
     params = model.init(jax.random.PRNGKey(0))
