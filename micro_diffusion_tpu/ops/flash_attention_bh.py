@@ -1,9 +1,10 @@
-"""Legacy (round-1) Pallas flash attention: (B*H, T, D) internal layout.
+"""Pallas flash attention, (B*H, T, D) internal layout ('flash_bh').
 
-One program per (batch*head), host-side transposes around the call. Proven to
-compile and win +25% at T=1024 on this environment's remote compile service; kept
-as the fallback variant (MDT_FLASH_VARIANT=bh) because the transpose-free v3
-kernel (flash_attention.py) intermittently trips the service's HTTP 500s.
+One program per (batch*head), host-side transposes around the call. Selected
+via the static attention_impl config (ops/attention.py): it is the 'flash'
+fallback for shapes the lane-packed kernel (flash_attention_lane.py) does not
+support (head_dim != 64 or odd head count). Reference semantics: torch
+scaled_dot_product_attention (micro_diffusion/models/utils.py:127-132).
 """
 
 import functools
