@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-3 final probe queue. Waits for the TPU relay to return, then runs the
+# remaining single-chip probes STRICTLY SERIALLY (two concurrent probes wedge
+# the tunnel for ~45 min - PERF.md round-3 wave 4), each in its own subprocess
+# so a compile crash / OOM cannot kill the queue. Results append to
+# tune_results.jsonl; drive with:  nohup bash scripts/sweep_r3final.sh &
+#
+# Queue rationale (PERF.md round-3 state of play):
+#   P1 s4 attn_moe mb16 +EMA      - stage 4 is the weighted-number bottleneck;
+#                                   round-2's "mb16 needs 19.8G" predates the
+#                                   fused MoE kernels + attn_moe policy.
+#   P2 s3 mb16 dispatch K=16 +EMA - EMA-phase accumulation OOMed at mb32 K=8;
+#                                   mb16 halves activations, amortizes the
+#                                   ~35ms optimizer over 16 microbatches.
+#   P3-P5 dispatch legs s1/s2/s3  - re-measure with the jitted zero fix (the
+#                                   eager-zeros runs understated by 8-15%).
+#   P6 s4 mb16 dispatch K=16 +EMA - only meaningful if P1 fits.
+#   P7 s2 attn_moe mb128 K=1      - mb ladder headroom check.
+cd "$(dirname "$0")/.."
+
+echo "[sweep_r3final] waiting for relay..." >&2
+while true; do
+  if timeout 3 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
+    # port up != TPU ready: require a real tiny computation to finish
+    if timeout 240 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >/dev/null 2>&1; then
+      break
+    fi
+  fi
+  sleep 60
+done
+echo "[sweep_r3final] relay UP at $(date +%H:%M:%S), starting queue" >&2
+
+run() {
+  echo "[sweep_r3final] >>> tune.py $* ($(date +%H:%M:%S))" >&2
+  timeout 2400 python scripts/tune.py "$@" >&2
+  echo "[sweep_r3final] <<< rc=$? ($(date +%H:%M:%S))" >&2
+}
+
+# P1: stage-4 bigger microbatch (the +3% that closes weighted >= 88)
+run --stage res512_mask0 --remat attn_moe --mb 16 --moe onehot --ema
+# P2: stage-3 EMA-phase accumulation at mb16
+run --stage res512_mask75 --remat attn_moe --mb 16 --accum 16 --accum-mode dispatch --accum-dtype bf16 --ema
+# P3-P5: dispatch recipe legs with the jitted zero fix
+run --stage res256_mask75 --remat attn_moe --mb 128 --accum 2 --accum-mode dispatch --accum-dtype bf16
+run --stage res256_mask0 --remat attn_moe --mb 64 --accum 4 --accum-mode dispatch --accum-dtype bf16
+run --stage res512_mask75 --remat attn_moe --mb 32 --accum 8 --accum-mode dispatch --accum-dtype bf16
+# P6: stage-4 accumulation at mb16 (skip-on-OOM is fine; recorded either way)
+run --stage res512_mask0 --remat attn_moe --mb 16 --accum 16 --accum-mode dispatch --accum-dtype bf16 --ema
+# P7: stage-2 microbatch headroom
+run --stage res256_mask0 --remat attn_moe --mb 128 --moe onehot
+
+echo "[sweep_r3final] queue done $(date +%H:%M:%S)" >&2
