@@ -137,8 +137,13 @@ STAGES = [
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 8), ("full", 4))),
     ("res512_mask0", 64, 0.0, 55_000,
      # measured mb8 + bf16 EMA (fused MoE bwd + lane flash): attn_moe onehot
-     # 23.48 img/s; dots_attn_moe + EMA OOMs (16.47G > 15.75G), alean 15.92
-     (("attn_moe", 8, "onehot", "none"), ("attn_moe", 8, "hybrid", "none"),
+     # 23.48 img/s; dots_attn_moe + EMA OOMs (16.47G > 15.75G), alean 15.92.
+     # mb16 leads the ladder untested: round-2's "mb16 needs 19.8G" predates
+     # the fused MoE kernels (hiddens in VMEM) + attn_moe policy; if it fits,
+     # halving the per-image optimizer share is worth ~+5% (stage-3 showed
+     # mb32 > mb16 by 7.6%). A compile-OOM rejection costs one ladder step.
+     (("attn_moe", 16, "onehot", "none"), ("attn_moe", 8, "onehot", "none"),
+      ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
       ("dots_attn_moe", 8, "gather"), ("dots_attn_moe", 8, "batched"),

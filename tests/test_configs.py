@@ -45,10 +45,19 @@ def test_single_chip_overlays_are_complete(stage):
     )
     mb = int(cfg["trainer"]["device_train_microbatch_size"])
     assert 1 <= mb <= 256
-    # single-chip: batch == microbatch (the fp32 accumulation carry for the
-    # 2048 global batch does not fit one 16GB chip; multi-chip recipes keep
-    # the inherited 2048 - see the overlay comments / PERF.md)
-    assert int(cfg["dataset"]["train_batch_size"]) == mb
+    # single-chip recipe semantics: the 256px stages accumulate the per-rank
+    # batch 256 with split-dispatch into a bf16 accumulator (the fp32 carry
+    # does not fit one 16GB chip); the 512px stages run batch == microbatch
+    # because the accumulator OOMs at runtime next to the resident EMA buffer
+    # (PERF.md round-3 wave 4 / overlay comments).
+    batch = int(cfg["dataset"]["train_batch_size"])
+    if batch != mb:
+        assert batch % mb == 0 and batch // mb >= 2
+        assert cfg["trainer"]["accum_mode"] == "dispatch"
+        assert cfg["trainer"]["grad_accum_dtype"] == "bfloat16"
+        assert "ema" not in (cfg.get("algorithms") or {}), (
+            "accumulation next to a resident EMA buffer OOMs single-chip"
+        )
     assert cfg["seed"] == 18
 
     # the model block instantiates through the real factory (kwargs accepted)
