@@ -82,6 +82,7 @@ STAGE_EMA = {
 # so these rungs reach for recipe accumulation first.
 PRE_EMA_LADDERS = {
     "res512_mask75": (
+        ("attn_moe", 32, "onehot", None, "flow16"),
         ("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
         ("dots_attn_moe", 16, "onehot"),
         ("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 16, "gather"),
@@ -105,7 +106,11 @@ STAGES = [
     # recipe extrapolation, but its graph takes 27 min to compile vs 4 - so
     # mb128 leads. Round-2 best unroll was 174.3; full 170.5.
     ("res256_mask75", 32, 0.75, 250_000,
-     (("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
+     # flow16 lead rung: bf16 param/grad flow saves the remat re-cast of the
+     # 4.66GB fp32 param tree and halves grad traffic (~28ms of converts in
+     # the stage-4 trace); loss trajectory equivalence in tests/test_train.py.
+     (("attn_moe", 128, "onehot", None, "flow16"),
+      ("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
       ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
       ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
       ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
@@ -114,7 +119,8 @@ STAGES = [
     # round-2 unroll 84.6-86.9. mb64 leads: K=4 recipe amortizes the optimizer
     # hardest, and its compile is the fastest of the probed set (180s).
     ("res256_mask0", 32, 0.0, 30_000,
-     (("attn_moe", 64, "onehot"), ("attn_moe", 32, "onehot"),
+     (("attn_moe", 64, "onehot", None, "flow16"),
+      ("attn_moe", 64, "onehot"), ("attn_moe", 32, "onehot"),
       ("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "hybrid"),
       ("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
@@ -129,7 +135,11 @@ STAGES = [
     # deterministic, so skip the doomed compiles. The pre-EMA phase (no EMA
     # buffer) accumulates fine (PRE_EMA_LADDERS).
     ("res512_mask75", 64, 0.75, 50_000,
-     (("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
+     # flow16 rung uses accum_pref "bf16": dropping the fp32 grad transient
+     # frees ~2.33GB, which may let the bf16 accumulator fit NEXT TO the EMA
+     # buffer (the fp32 K=2 attempt would still be a guaranteed OOM).
+     (("attn_moe", 32, "onehot", "bf16", "flow16"),
+      ("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
@@ -142,7 +152,10 @@ STAGES = [
      # the fused MoE kernels (hiddens in VMEM) + attn_moe policy; if it fits,
      # halving the per-image optimizer share is worth ~+5% (stage-3 showed
      # mb32 > mb16 by 7.6%). A compile-OOM rejection costs one ladder step.
-     (("attn_moe", 16, "onehot", "none"), ("attn_moe", 8, "onehot", "none"),
+     (("attn_moe", 16, "onehot", "bf16", "flow16"),
+      ("attn_moe", 16, "onehot", "none"),
+      ("attn_moe", 8, "onehot", "bf16", "flow16"),
+      ("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
@@ -208,7 +221,8 @@ def _time_step(step_fn, state, batch, rng, timed_steps, label):
 
 
 def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
-                moe_dispatch="onehot", use_ema=True, accum_pref=None):
+                moe_dispatch="onehot", use_ema=True, accum_pref=None,
+                param_flow_dtype=None):
     """One ladder rung: build state, compile, time the RECIPE step semantics.
 
     The timed step is the reference's per-rank optimizer step: EMA on for
@@ -258,9 +272,10 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
                                   ema_dtype=jnp.bfloat16)
 
     k_recipe = max(1, PER_RANK_BATCH // mb)
-    step_kwargs = {}
+    step_kwargs = {"param_flow_dtype": param_flow_dtype}
     if ema is not None:
-        step_kwargs = dict(ema_smoothing=ema, ema_start=0, ema_update_interval=1)
+        step_kwargs.update(
+            ema_smoothing=ema, ema_start=0, ema_update_interval=1)
 
     # K=1 (bare semantics + EMA where the recipe has it)
     step1 = jax.jit(
@@ -361,7 +376,10 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
     """Time the recipe step in split-dispatch mode: K grad dispatches into a
     donated bf16 accumulator + one optimizer/EMA apply. Returns
     (recipe_img_s, loss, state); raises on compile/OOM failure."""
-    grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+    step_kwargs = dict(step_kwargs)
+    flow_dtype = step_kwargs.pop("param_flow_dtype", None)
+    grad_fn = jax.jit(make_grad_step(model, param_flow_dtype=flow_dtype),
+                      donate_argnums=(1,))
     apply_fn = jax.jit(make_apply_step(tx, sched, **step_kwargs),
                        static_argnums=(2,), donate_argnums=(0,))
     # ONE jitted dispatch for the zeroed accumulator: eagerly materializing
@@ -408,12 +426,18 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps,
         # through the factory - NOT an env var (round-2 advisor finding).
         moe = cfg[2] if len(cfg) > 2 else "unroll"
         accum_pref = cfg[3] if len(cfg) > 3 else None
+        # 5th element "flow16": bf16 param/grad flow (make_train_step
+        # param_flow_dtype) - one cast outside the remat regions, bf16 grads,
+        # fp32 update math (trajectory equivalence: tests/test_train.py)
+        flow = jnp.bfloat16 if (len(cfg) > 4 and cfg[4] == "flow16") else None
         try:
             recipe_img_s, bare_img_s, mb, accum = _run_config(
                 name, latent_res, mask_ratio, policy, mb, timed_steps,
                 moe_dispatch=moe, use_ema=use_ema, accum_pref=accum_pref,
+                param_flow_dtype=flow,
             )
-            return recipe_img_s, bare_img_s, mb, policy, moe, accum
+            return (recipe_img_s, bare_img_s, mb, policy, moe, accum,
+                    "bf16" if flow is not None else "fp32")
         except Exception as e:  # OOM / remote-compile 500 -> next config
             log(f"[{name}] config (remat={policy}, mb={mb}) failed: {str(e)[:120]}")
         # A failed rung's 9GB of params/opt-state must be off the chip before
@@ -433,14 +457,14 @@ def main():
 
     results = {}
     for name, res, mask, steps, ladder in stages:
-        img_s, bare, mb, policy, moe, accum = bench_stage(
+        img_s, bare, mb, policy, moe, accum, flow = bench_stage(
             name, res, mask, ladder, timed_steps
         )
         detail = {
             "bare_step_img_per_sec": bare,
             "microbatch": mb, "remat": policy, "moe_dispatch": moe,
             "ema": name in STAGE_EMA,
-            "accum": accum,
+            "accum": accum, "param_flow": flow,
         }
         # Two-phase stage: before ema_start the EMA buffer doesn't exist
         # (reference ema_start semantics), so that fraction of the schedule
@@ -448,7 +472,8 @@ def main():
         # harmonic combination.
         start_frac = STAGE_EMA.get(name, {}).get("start_frac", 0.0)
         if name in PRE_EMA_LADDERS and start_frac >= 0.05:
-            pre_img_s, pre_bare, pre_mb, pre_policy, pre_moe, pre_accum = (
+            (pre_img_s, pre_bare, pre_mb, pre_policy, pre_moe, pre_accum,
+             pre_flow) = (
                 bench_stage(name, res, mask, PRE_EMA_LADDERS[name],
                             timed_steps, use_ema=False)
             )
@@ -461,6 +486,7 @@ def main():
                 "bare_step_img_per_sec": round(pre_bare, 2),
                 "microbatch": pre_mb, "remat": pre_policy,
                 "moe_dispatch": pre_moe, "accum": pre_accum,
+                "param_flow": pre_flow,
             }
         # MFU: model FLOPs (3x fwd, excluding remat recompute) / peak
         mfu = 3 * stage_fwd_gflops_per_sample(res, mask) * img_s / (

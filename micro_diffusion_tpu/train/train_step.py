@@ -73,6 +73,7 @@ def make_train_step(
     ema_start: int = 0,
     ema_update_interval: int = 1,
     accum_dtype: Any = jnp.float32,
+    param_flow_dtype: Optional[Any] = None,
 ) -> Callable:
     """Build the train step fn(state, batch, base_rng) -> (state, metrics).
 
@@ -87,6 +88,21 @@ def make_train_step(
     way; only the running sum is stored rounded (grads themselves are bf16
     products upstream, and the K<=32 partial sums stay well inside bf16's
     8-bit mantissa - see tests/test_train_step.py for the tolerance proof).
+
+    ``param_flow_dtype``: optional dtype (bf16) the fp32 master params are cast
+    to ONCE per step, OUTSIDE the per-block remat regions, before entering the
+    loss. Default (None) keeps the reference-parity amp_bf16 scheme: fp32
+    params enter the model and every module casts at its use site - which a
+    remat backward re-runs (2x the param bytes moved per step) and which makes
+    the parameter cotangents fp32 (a params-sized fp32 tree at the bwd/update
+    boundary). With bf16 flow the cast happens once (the remat regions see
+    bf16 inputs, nothing to recompute), gradients leave the backward in bf16
+    (halving grad write+read traffic and the grad-tree HBM peak by 2.33GB for
+    XL), and the mean/clip/AdamW update math stays fp32 exactly as with the
+    bf16 accumulator. Deviation from the reference: parameter values and
+    parameter cotangents are bf16-rounded once per step (torch amp keeps fp32
+    grads); opt-in per config, trajectory-equivalence covered in
+    tests/test_train.py.
     """
     from .optim import ema_update
 
@@ -99,10 +115,14 @@ def make_train_step(
     def train_step(state: TrainState, batch: Any, base_rng: jax.Array):
         rng = jax.random.fold_in(base_rng, state.step)
         micro, n = _split_microbatches(batch, microbatch_size)
+        flow_params = (
+            jax.tree.map(lambda p: p.astype(param_flow_dtype), state.params)
+            if param_flow_dtype is not None else state.params
+        )
 
         def micro_step(acc, inp):
             idx, mb = inp
-            loss, grads = grad_fn(state.params, jax.random.fold_in(rng, idx), mb)
+            loss, grads = grad_fn(flow_params, jax.random.fold_in(rng, idx), mb)
             acc_loss, acc_grads = acc
             return (
                 acc_loss + loss,
@@ -150,7 +170,7 @@ def make_train_step(
     return train_step
 
 
-def make_grad_step(model: Any) -> Callable:
+def make_grad_step(model: Any, param_flow_dtype: Optional[Any] = None) -> Callable:
     """Split-dispatch gradient accumulation, part 1: one microbatch's grads added
     into an accumulator (donate the accumulator for in-place update; its dtype is
     set by zero_grad_accumulator - fp32, or bf16 to fit single-chip XL).
@@ -158,7 +178,12 @@ def make_grad_step(model: Any) -> Callable:
     Semantically identical to the lax.scan accumulation in make_train_step, but each
     dispatch compiles a much smaller graph - the robust path on toolchains that
     struggle with the scanned whole-step program, and the natural shape when
-    microbatches stream from the host."""
+    microbatches stream from the host.
+
+    ``param_flow_dtype``: see make_train_step - here the cast runs once per
+    dispatch (the master tree is the dispatch input), still outside the remat
+    regions, so the remat backward re-moves no param bytes and the cotangents
+    leave the backward in bf16."""
 
     def loss_fn(params, rng, microbatch):
         loss, _, _ = model.forward(params, rng, microbatch, train=True)
@@ -167,6 +192,8 @@ def make_grad_step(model: Any) -> Callable:
     grad_fn = jax.value_and_grad(loss_fn)
 
     def grad_step(params, acc, microbatch, rng, idx):
+        if param_flow_dtype is not None:
+            params = jax.tree.map(lambda p: p.astype(param_flow_dtype), params)
         loss, grads = grad_fn(params, jax.random.fold_in(rng, idx), microbatch)
         acc_loss, acc_grads = acc
         return (

@@ -87,6 +87,10 @@ class Trainer:
         grad_accum_dtype: str = "float32",  # accumulator storage for the scan
         # mode; 'bfloat16' halves the params-sized carry (the single-chip XL
         # configuration - see make_train_step / configs/tpu_v5e_1chip)
+        param_flow_dtype: Optional[str] = None,  # 'bfloat16': cast the fp32
+        # master params once per step OUTSIDE the remat regions so the remat
+        # backward re-moves no param bytes and grads leave the backward in
+        # bf16 (fp32 update math unchanged) - see make_train_step
         **_: Any,
     ):
         self.model = model
@@ -183,9 +187,15 @@ class Trainer:
         assert accum_mode in ("scan", "dispatch"), accum_mode
         self.accum_mode = accum_mode
         self.accum_dtype = jnp.dtype(grad_accum_dtype)
+        self.param_flow_dtype = (
+            jnp.dtype(param_flow_dtype) if param_flow_dtype else None
+        )
         self._grad_fn = self._apply_fn = None
         if accum_mode == "dispatch" and self.microbatch_size:
-            self._grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+            self._grad_fn = jax.jit(
+                make_grad_step(model, param_flow_dtype=self.param_flow_dtype),
+                donate_argnums=(1,),
+            )
             # grad_accum_dtype applies to BOTH accumulation modes; one jitted
             # dispatch for the zeroed tree - eager per-tensor zeros cost
             # ~0.15ms each through the device relay (~10^3 tensors, PERF.md)
@@ -217,6 +227,7 @@ class Trainer:
                     self.ema_cfg["update_interval"] if self.ema_cfg else 1
                 ),
                 accum_dtype=self.accum_dtype,
+                param_flow_dtype=self.param_flow_dtype,
             ),
             in_shardings=(self._state_sh, self._b_sh, None),
             out_shardings=(self._state_sh, None),

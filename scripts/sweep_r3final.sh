@@ -49,4 +49,15 @@ run --stage res512_mask0 --remat attn_moe --mb 16 --accum 16 --accum-mode dispat
 # P7: stage-2 microbatch headroom
 run --stage res256_mask0 --remat attn_moe --mb 128 --moe onehot
 
+# P8-P11: bf16 param/grad flow (train_step param_flow_dtype) - kills the
+# ~28-35ms/step of fp32<->bf16 converts in the stage-4 trace, halves grad
+# traffic, and frees the fp32 grad transient (2.33GB) which may unlock
+# accumulation next to the EMA buffer (stage 3/4 EMA phases).
+run --stage res512_mask0 --remat attn_moe --mb 8 --moe onehot --flow bf16 --ema
+run --stage res512_mask0 --remat attn_moe --mb 16 --moe onehot --flow bf16 --ema
+run --stage res512_mask75 --remat attn_moe --mb 32 --moe onehot --flow bf16 --ema
+run --stage res256_mask75 --remat attn_moe --mb 128 --moe onehot --flow bf16
+# P12: stage-4 EMA-phase dispatch accumulation WITH the freed grad transient
+run --stage res512_mask0 --remat attn_moe --mb 8 --accum 32 --accum-mode dispatch --accum-dtype bf16 --flow bf16 --ema
+
 echo "[sweep_r3final] queue done $(date +%H:%M:%S)" >&2

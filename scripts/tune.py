@@ -334,11 +334,14 @@ def run(args):
     state = create_train_state(params, tx, use_ema=args.ema,
                                ema_dtype=jnp.bfloat16 if args.ema else None)
     del params
+    flow_dtype = jnp.bfloat16 if args.flow == "bf16" else None
 
     batch_size = args.mb * args.accum
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
            "accum": args.accum, "nu": args.nu, "mode": args.accum_mode,
            "moe": args.moe, "attn": args.attn}
+    if args.flow == "bf16":
+        cfg["flow"] = "bf16"
     if args.accum > 1:
         cfg["accum_dtype"] = args.accum_dtype
     if args.ema:
@@ -356,7 +359,8 @@ def run(args):
                 ema_start=0, ema_update_interval=1,
             )
         acc_dtype = jnp.bfloat16 if args.accum_dtype == "bf16" else jnp.float32
-        grad_fn = jax.jit(make_grad_step(model), donate_argnums=(1,))
+        grad_fn = jax.jit(make_grad_step(model, param_flow_dtype=flow_dtype),
+                          donate_argnums=(1,))
         apply_fn = jax.jit(make_apply_step(tx, sched, **apply_kwargs),
                            static_argnums=(2,), donate_argnums=(0,))
         mbatch = make_batch(args.mb, res)
@@ -403,6 +407,7 @@ def run(args):
                             microbatch_size=args.mb if args.accum > 1 else None,
                             accum_dtype=jnp.bfloat16
                             if args.accum_dtype == "bf16" else jnp.float32,
+                            param_flow_dtype=flow_dtype,
                             **step_kwargs),
             donate_argnums=(0,),
         )
@@ -446,6 +451,10 @@ def main():
     p.add_argument("--accum-mode", default="scan", choices=["scan", "dispatch"],
                    dest="accum_mode")
     p.add_argument("--nu", default="fp32", choices=["fp32", "bf16"])
+    p.add_argument("--flow", default="fp32", choices=["fp32", "bf16"],
+                   help="param_flow_dtype: bf16 casts the master params once "
+                   "per step outside the remat regions (bf16 grads, fp32 "
+                   "update math) - see train_step.make_train_step")
     p.add_argument("--accum-dtype", default="fp32", choices=["fp32", "bf16"],
                    help="grad accumulator storage dtype (scan mode)")
     p.add_argument("--ema", action="store_true",
