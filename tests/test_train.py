@@ -319,6 +319,22 @@ def test_bench_dispatch_recipe_leg(monkeypatch):
     assert img_s > 0 and np.isfinite(loss)
     assert int(state.step) >= 4  # one cycle per timed iteration + warmups
 
+    # flow16 rung: param_flow_dtype threads through the dispatch leg (popped
+    # before make_apply_step, passed to make_grad_step) - pins the bench
+    # plumbing the ladders' ("...", "flow16") rungs rely on. Fresh params:
+    # the first leg's apply donated the state, deleting the shared buffers.
+    params2 = model.init(jax.random.PRNGKey(0))
+    state2 = create_train_state(params2, tx, use_ema=True,
+                                ema_dtype=jnp.bfloat16)
+    img_s2, loss2, state2 = bench._time_dispatch_recipe(
+        model, tx, sched, state2, mb=4, k_recipe=2, latent_res=16,
+        step_kwargs=dict(ema_smoothing=0.99, ema_start=0,
+                         ema_update_interval=1,
+                         param_flow_dtype=jnp.bfloat16),
+        rng=jax.random.PRNGKey(3), name="test-flow16",
+    )
+    assert img_s2 > 0 and np.isfinite(loss2)
+
 
 def test_sharded_train_step_8_devices():
     """Full train step jitted over a (data=2, fsdp=2, tensor=2) mesh: dp grad sync,
