@@ -60,4 +60,10 @@ run --stage res256_mask75 --remat attn_moe --mb 128 --moe onehot --flow bf16
 # P12: stage-4 EMA-phase dispatch accumulation WITH the freed grad transient
 run --stage res512_mask0 --remat attn_moe --mb 8 --accum 32 --accum-mode dispatch --accum-dtype bf16 --flow bf16 --ema
 
+# P13: the shipped recipe trains AS CONFIGURED on this chip (VERDICT round-2
+# weak #4 acceptance): real train.py + tpu_v5e_1chip overlay on synthetic MDS.
+echo "[sweep_r3final] >>> train_smoke_v5e res_256_pretrain ($(date +%H:%M:%S))" >&2
+timeout 3000 python scripts/train_smoke_v5e.py --stage res_256_pretrain --steps 6 >&2
+echo "[sweep_r3final] <<< rc=$? ($(date +%H:%M:%S))" >&2
+
 echo "[sweep_r3final] queue done $(date +%H:%M:%S)" >&2
