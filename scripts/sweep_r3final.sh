@@ -51,6 +51,10 @@ run --stage res512_mask75 --remat attn_moe --mb 16 --accum 16 --accum-mode dispa
 run --stage res512_mask75 --remat attn_moe --mb 32 --accum 8 --accum-mode dispatch --accum-dtype bf16 --flow bf16
 
 # ---- stages 1-2 recipe legs (jitted-zero fix + flow16 cache warm) -----------
+# K=1 flow16 at the lead rungs (bench times K=1 BEFORE the dispatch leg, so
+# these graphs must be warm too)
+run --stage res256_mask75 --remat attn_moe --mb 128 --moe onehot --flow bf16
+run --stage res256_mask0 --remat attn_moe --mb 64 --moe onehot --flow bf16
 # P7-P10: dispatch recipe legs; the eager-zeros runs understated by 8-15%
 run --stage res256_mask75 --remat attn_moe --mb 128 --accum 2 --accum-mode dispatch --accum-dtype bf16 --flow bf16
 run --stage res256_mask75 --remat attn_moe --mb 128 --accum 2 --accum-mode dispatch --accum-dtype bf16
