@@ -33,7 +33,8 @@ def main():
         cfg = (f"remat={r['remat']} mb={r['mb']} accum={r.get('accum',1)} "
                f"nu={r.get('nu','?')} moe={r.get('moe','?')}"
                f"{' ema' if r.get('ema') else ''}"
-               f"{' acc=' + r['accum_dtype'] if r.get('accum_dtype') else ''}")
+               f"{' acc=' + r['accum_dtype'] if r.get('accum_dtype') else ''}"
+               f"{' flow=' + r['flow'] if r.get('flow') else ''}")
         print(f"{s:<16} {r['img_per_sec']:>10.1f} {mfu:>6.1%}  {cfg}")
     if all(s in best for s in STEPS):
         imgs = sum(STEPS[s] * 2048 for s in STEPS)
