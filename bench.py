@@ -135,11 +135,12 @@ STAGES = [
     # deterministic, so skip the doomed compiles. The pre-EMA phase (no EMA
     # buffer) accumulates fine (PRE_EMA_LADDERS).
     ("res512_mask75", 64, 0.75, 50_000,
-     # flow16 rung uses accum_pref "bf16": dropping the fp32 grad transient
-     # frees ~2.33GB, which may let the bf16 accumulator fit NEXT TO the EMA
-     # buffer (the fp32 K=2 attempt would still be a guaranteed OOM).
-     (("attn_moe", 32, "onehot", "bf16", "flow16"),
-      ("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
+     # flow16 is NOT on this ladder: with the EMA buffer resident the bf16
+     # param copy it keeps live all step costs MORE than the bf16 grads save
+     # (stage-4 mb8 flow16 compile-OOMed 17.36G vs 15.75G, +1.61G net vs the
+     # fitting non-flow config - measured 2026-08-18); same accounting applies
+     # here, and a doomed rung costs a ~13-min compile.
+     (("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
@@ -152,9 +153,11 @@ STAGES = [
      # the fused MoE kernels (hiddens in VMEM) + attn_moe policy; if it fits,
      # halving the per-image optimizer share is worth ~+5% (stage-3 showed
      # mb32 > mb16 by 7.6%). A compile-OOM rejection costs one ladder step.
-     (("attn_moe", 16, "onehot", "bf16", "flow16"),
-      ("attn_moe", 16, "onehot", "none"),
-      ("attn_moe", 8, "onehot", "bf16", "flow16"),
+     # flow16 rungs removed: mb8 flow16 +EMA compile-OOMs at 17.36G/15.75G
+     # (the resident bf16 param tree outweighs the halved grad traffic when
+     # the EMA buffer is live); mb16 flow16 is strictly bigger. Non-flow mb16
+     # leads untested-but-plausible (see rationale above).
+     (("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
