@@ -82,7 +82,6 @@ STAGE_EMA = {
 # so these rungs reach for recipe accumulation first.
 PRE_EMA_LADDERS = {
     "res512_mask75": (
-        ("attn_moe", 32, "onehot", None, "flow16"),
         ("attn_moe", 32, "onehot"), ("attn_moe", 16, "onehot"),
         ("dots_attn_moe", 16, "onehot"),
         ("dots_attn_moe", 8, "onehot"), ("dots_attn_moe", 16, "gather"),
@@ -106,11 +105,12 @@ STAGES = [
     # recipe extrapolation, but its graph takes 27 min to compile vs 4 - so
     # mb128 leads. Round-2 best unroll was 174.3; full 170.5.
     ("res256_mask75", 32, 0.75, 250_000,
-     # flow16 lead rung: bf16 param/grad flow saves the remat re-cast of the
-     # 4.66GB fp32 param tree and halves grad traffic (~28ms of converts in
-     # the stage-4 trace); loss trajectory equivalence in tests/test_train.py.
-     (("attn_moe", 128, "onehot", None, "flow16"),
-      ("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
+     # flow16 (bf16 param/grad flow) is OFF every ladder: measured 2026-08-18,
+     # the resident bf16 param tree (+2.33G all step) exceeds what the bf16
+     # cotangents save at EVERY XL stage on a 16GB chip (stage-1 mb128 OOM
+     # +598M, stage-4 mb8+EMA OOM +1.61G). It stays available for multi-chip
+     # runs (sharded state) via train_step param_flow_dtype.
+     (("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
       ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
       ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
       ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
@@ -119,8 +119,7 @@ STAGES = [
     # round-2 unroll 84.6-86.9. mb64 leads: K=4 recipe amortizes the optimizer
     # hardest, and its compile is the fastest of the probed set (180s).
     ("res256_mask0", 32, 0.0, 30_000,
-     (("attn_moe", 64, "onehot", None, "flow16"),
-      ("attn_moe", 64, "onehot"), ("attn_moe", 32, "onehot"),
+     (("attn_moe", 64, "onehot"), ("attn_moe", 32, "onehot"),
       ("dots_attn_moe", 16, "onehot"), ("dots_attn_moe", 16, "hybrid"),
       ("dots_attn_moe", 16), ("dots_attn_moe_lean", 16),
       ("dots_attn_moe_xlean", 16), ("dots", 16), ("full", 16), ("full", 8))),
@@ -155,10 +154,10 @@ STAGES = [
      # mb32 > mb16 by 7.6%). A compile-OOM rejection costs one ladder step.
      # flow16 rungs removed: mb8 flow16 +EMA compile-OOMs at 17.36G/15.75G
      # (the resident bf16 param tree outweighs the halved grad traffic when
-     # the EMA buffer is live); mb16 flow16 is strictly bigger. Non-flow mb16
-     # leads untested-but-plausible (see rationale above).
-     (("attn_moe", 16, "onehot", "none"),
-      ("attn_moe", 8, "onehot", "none"),
+     # the EMA buffer is live). mb16 removed too: measured compile-OOM at
+     # 17.28G/15.75G (+1.53G) even with the fused MoE kernels - the round-2
+     # projection held. mb8 is the stage-4 single-chip ceiling.
+     (("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
@@ -280,9 +279,19 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         step_kwargs.update(
             ema_smoothing=ema, ema_start=0, ema_update_interval=1)
 
-    # K=1 (bare semantics + EMA where the recipe has it)
+    # K=1 leg. When accumulation is known-infeasible (accum_pref "none": the
+    # bf16 grad accumulator OOMs next to the resident EMA buffer), this K=1
+    # step IS the stage's final config - and the recipe's EMA cadence is one
+    # update per optimizer update per 256 per-rank images (update_interval 1ba,
+    # res_512_pretrain.yaml:4-9), so the cadence-faithful interval here is
+    # k_recipe (a lax.cond skip, optim.ema_update): EMA every-mb-images would
+    # be 256/mb MORE EMA applications per image than the recipe, ~11ms/step of
+    # pure param+EMA HBM traffic at XL.
+    k1_kwargs = dict(step_kwargs)
+    if ema is not None and accum_pref == "none" and k_recipe > 1:
+        k1_kwargs["ema_update_interval"] = k_recipe
     step1 = jax.jit(
-        make_train_step(model, tx, sched, microbatch_size=None, **step_kwargs),
+        make_train_step(model, tx, sched, microbatch_size=None, **k1_kwargs),
         donate_argnums=(0,),
     )
     dt1, loss1, state = _time_step(
@@ -359,7 +368,11 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
             gc.collect()
             state = _fresh_state()
     if dt2 is None:
-        return bare_img_s, bare_img_s, mb, "infeasible_single_chip"
+        tag = "infeasible_single_chip"
+        if "ema_update_interval" in k1_kwargs and k1_kwargs[
+                "ema_update_interval"] > 1:
+            tag += f"_ema_int{k_recipe}"
+        return bare_img_s, bare_img_s, mb, tag
     t_micro = dt2 - dt1  # one fwd+bwd+accumulate leg
     if t_micro <= 0:  # noise guard: fall back to the conservative reading
         t_micro = dt2 / 2

@@ -215,19 +215,39 @@ def ema_update(
     (reference recipe: smoothing 0.99975 from 25000ba at stage 3, 0.9975 from 1000ba at
     stage 4 - configs/res_512_pretrain.yaml:4-9). ``update_interval`` k applies the
     decay only every k-th step after ema_start (the reference EMA's update_interval;
-    before ema_start the mirror runs every step)."""
+    before ema_start the mirror runs every step).
+
+    For k > 1 the skip is a ``lax.cond`` around the whole tree update, NOT an
+    elementwise where: a where still streams the full param + EMA trees through
+    HBM on every step (~9.3GB for XL - the entire cost of EMA), whereas the
+    cond's identity branch moves nothing. k == 1 keeps the original unconditional
+    jaxpr bit-for-bit (compile-cache stability for every existing config)."""
     decay = jnp.where(step >= ema_start, smoothing, 0.0)
-    do = jnp.logical_or(step < ema_start, step % max(1, update_interval) == 0)
-    # fp32 decay math regardless of the EMA storage dtype: a bf16-stored EMA
-    # (the single-chip HBM compromise - a second fp32 param copy does not fit
-    # next to params + moments on 16GB) still accumulates at fp32 precision
-    # within each update before rounding back.
-    return jax.tree.map(
-        lambda e, p: jnp.where(
-            do,
-            (decay * e.astype(jnp.float32)
-             + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
-            e,
-        ),
-        ema_params, params,
-    )
+    if update_interval <= 1:
+        # Original unconditional form, kept jaxpr-identical (persistent
+        # compile-cache stability for every existing interval-1 config).
+        do = jnp.logical_or(step < ema_start, step % max(1, update_interval) == 0)
+        # fp32 decay math regardless of the EMA storage dtype: a bf16-stored EMA
+        # (the single-chip HBM compromise - a second fp32 param copy does not fit
+        # next to params + moments on 16GB) still accumulates at fp32 precision
+        # within each update before rounding back.
+        return jax.tree.map(
+            lambda e, p: jnp.where(
+                do,
+                (decay * e.astype(jnp.float32)
+                 + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+                e,
+            ),
+            ema_params, params,
+        )
+
+    def upd(operands):
+        e_tree, p_tree = operands
+        return jax.tree.map(
+            lambda e, p: (decay * e.astype(jnp.float32)
+                          + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+            e_tree, p_tree,
+        )
+
+    do = jnp.logical_or(step < ema_start, step % update_interval == 0)
+    return jax.lax.cond(do, upd, lambda ops: ops[0], (ema_params, params))

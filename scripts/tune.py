@@ -346,6 +346,8 @@ def run(args):
         cfg["accum_dtype"] = args.accum_dtype
     if args.ema:
         cfg["ema"] = True
+        if args.ema_interval > 1:
+            cfg["ema_interval"] = args.ema_interval
     log(f"config: {cfg}")
 
     if args.accum > 1 and args.accum_mode == "dispatch":
@@ -396,11 +398,15 @@ def run(args):
         step_kwargs = {}
         if args.ema:
             # per-stage recipe smoothing, matching bench.py exactly so probe
-            # compiles warm the persistent cache for the bench run
+            # compiles warm the persistent cache for the bench run.
+            # --ema-interval k: one EMA update per k steps via lax.cond (the
+            # recipe cadence is one update per 256 per-rank images; a K=1
+            # fallback at mb updates the optimizer every mb images, so the
+            # cadence-faithful interval is 256/mb - see bench._run_config).
             ema_cfg = bench.STAGE_EMA.get(args.stage)
             step_kwargs = dict(
                 ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
-                ema_start=0, ema_update_interval=1,
+                ema_start=0, ema_update_interval=args.ema_interval,
             )
         step_fn = jax.jit(
             make_train_step(model, tx, sched,
@@ -459,6 +465,9 @@ def main():
                    help="grad accumulator storage dtype (scan mode)")
     p.add_argument("--ema", action="store_true",
                    help="enable EMA in the timed step (bf16 storage, stage-3/4 recipe)")
+    p.add_argument("--ema-interval", type=int, default=1, dest="ema_interval",
+                   help="EMA update every k steps (lax.cond skip; recipe-"
+                   "faithful cadence for K=1 fallback legs is 256/mb)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "flash", "flash_lane", "flash_bh", "flash_bthd"],
                    help="attention backend (static module attr)")

@@ -145,6 +145,25 @@ def test_ema_update_interval():
     e = ema_update(p0, p1, jnp.asarray(5), smoothing=0.9, ema_start=10,
                    update_interval=4)
     np.testing.assert_allclose(np.asarray(e["w"]), 2.0)
+    # interval > 1 is a lax.cond at the tree level (a where would still stream
+    # the full param+EMA trees through HBM on skipped steps - the entire cost
+    # of EMA at XL scale); semantics must match the interval-1 where-form under
+    # jit with donated buffers, across a window covering both branches.
+    @jax.jit
+    def stepper(e, step):
+        return ema_update(e, p1, step, smoothing=0.9, ema_start=10,
+                          update_interval=4)
+    e = {"w": jnp.ones(2)}
+    got = []
+    for s in range(10, 20):
+        e = stepper(e, jnp.asarray(s))
+        got.append(float(e["w"][0]))
+    ref, val = [], 1.0
+    for s in range(10, 20):
+        if s % 4 == 0:
+            val = 0.9 * val + 0.1 * 2.0
+        ref.append(val)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
 
 
 def test_train_step_single_device():
