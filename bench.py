@@ -39,6 +39,7 @@ from micro_diffusion_tpu.train import (
     build_optimizer,
     create_train_state,
     make_apply_step,
+    make_ema_step,
     make_grad_step,
     make_train_step,
     zero_grad_accumulator,
@@ -282,14 +283,18 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # K=1 leg. When accumulation is known-infeasible (accum_pref "none": the
     # bf16 grad accumulator OOMs next to the resident EMA buffer), this K=1
     # step IS the stage's final config - and the recipe's EMA cadence is one
-    # update per optimizer update per 256 per-rank images (update_interval 1ba,
-    # res_512_pretrain.yaml:4-9), so the cadence-faithful interval here is
-    # k_recipe (a lax.cond skip, optim.ema_update): EMA every-mb-images would
-    # be 256/mb MORE EMA applications per image than the recipe, ~11ms/step of
-    # pure param+EMA HBM traffic at XL.
+    # update per optimizer update over 256 per-rank images (update_interval
+    # 1ba, res_512_pretrain.yaml:4-9), so the cadence-faithful rate here is
+    # one EMA per k_recipe steps. That EMA runs as its OWN host-dispatched
+    # graph (make_ema_step): folding the skip into the step as a lax.cond
+    # costs ~49MB of cond buffers - measured OOM at stage-4 mb8 (15.79G vs
+    # 15.75G) where the plain no-EMA step fits; EMA-every-step costs ~11ms of
+    # param+EMA HBM traffic per step, 256/mb times the recipe's share.
+    host_ema = ema is not None and accum_pref == "none" and k_recipe > 1
     k1_kwargs = dict(step_kwargs)
-    if ema is not None and accum_pref == "none" and k_recipe > 1:
-        k1_kwargs["ema_update_interval"] = k_recipe
+    if host_ema:
+        for kk in ("ema_smoothing", "ema_start", "ema_update_interval"):
+            k1_kwargs.pop(kk, None)
     step1 = jax.jit(
         make_train_step(model, tx, sched, microbatch_size=None, **k1_kwargs),
         donate_argnums=(0,),
@@ -304,6 +309,21 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
+    if host_ema:
+        ema_fn = jax.jit(make_ema_step(ema), donate_argnums=(0,))
+        state = ema_fn(state)
+        float(jax.tree.leaves(state.ema_params)[0].reshape(-1)[0])  # compile
+        t0 = time.time()
+        for _ in range(4):
+            state = ema_fn(state)
+        float(jax.tree.leaves(state.ema_params)[0].reshape(-1)[0])
+        dt_ema = (time.time() - t0) / 4
+        t_cycle = k_recipe * dt1 + dt_ema
+        recipe_img_s = k_recipe * mb / t_cycle
+        log(f"[{name}] remat={policy} mb{mb} host-EMA every {k_recipe} steps: "
+            f"ema {dt_ema * 1e3:.1f} ms -> {recipe_img_s:.1f} img/s recipe "
+            f"(bare {bare_img_s:.1f})")
+        return recipe_img_s, bare_img_s, mb, f"k1_host_ema_int{k_recipe}"
     # Split-dispatch accumulation FIRST: K small grad graphs + one apply graph
     # per optimizer step, timed directly (no extrapolation). The scanned
     # whole-step accumulation graph 500s the remote compile helper for most XL
@@ -368,11 +388,7 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
             gc.collect()
             state = _fresh_state()
     if dt2 is None:
-        tag = "infeasible_single_chip"
-        if "ema_update_interval" in k1_kwargs and k1_kwargs[
-                "ema_update_interval"] > 1:
-            tag += f"_ema_int{k_recipe}"
-        return bare_img_s, bare_img_s, mb, tag
+        return bare_img_s, bare_img_s, mb, "infeasible_single_chip"
     t_micro = dt2 - dt1  # one fwd+bwd+accumulate leg
     if t_micro <= 0:  # noise guard: fall back to the conservative reading
         t_micro = dt2 / 2

@@ -1,7 +1,7 @@
 from .optim import build_optimizer, build_schedule, ema_update
 from .train_step import (TrainState, create_train_state, make_train_step,
                          make_eval_step, make_grad_step, make_apply_step,
-                         zero_grad_accumulator)
+                         make_ema_step, zero_grad_accumulator)
 
 __all__ = [
     "build_optimizer",
@@ -13,5 +13,6 @@ __all__ = [
     "make_eval_step",
     "make_grad_step",
     "make_apply_step",
+    "make_ema_step",
     "zero_grad_accumulator",
 ]

@@ -243,6 +243,31 @@ def make_apply_step(
     return apply_step
 
 
+def make_ema_step(smoothing: float) -> Callable:
+    """Standalone EMA apply: state -> state with ema <- s*ema + (1-s)*params
+    (fp32 decay math via optim.ema_update, any storage dtype).
+
+    Host-cadence EMA for HBM-edge K=1 configs: the recipe applies EMA once per
+    optimizer update over 256 per-rank images (update_interval 1ba,
+    res_512_pretrain.yaml:4-9), so a K=1 fallback at microbatch mb owes one EMA
+    per 256/mb steps. Folding that skip into the step graph as a lax.cond costs
+    ~49MB of cond buffers - measured OOM at stage-4 mb8 (15.79G vs 15.75G,
+    2026-08-18) where the plain no-EMA step graph fits. Dispatching this
+    function every k-th step from the host keeps the train-step graph exactly
+    the fitting one; relay dispatch overhead is measured-zero (PERF.md round 2).
+    """
+    from .optim import ema_update
+
+    def ema_step(state: TrainState) -> TrainState:
+        new_ema = ema_update(
+            state.ema_params, state.params, state.step, smoothing,
+            ema_start=0, update_interval=1,
+        )
+        return state.replace(ema_params=new_ema)
+
+    return ema_step
+
+
 def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):
     """Fresh (loss_sum, grad_sum) accumulator for make_grad_step.
 

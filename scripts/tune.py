@@ -396,18 +396,24 @@ def run(args):
         dt = (time.time() - t0) / args.steps
     else:
         step_kwargs = {}
+        ema_smoothing = None
         if args.ema:
             # per-stage recipe smoothing, matching bench.py exactly so probe
             # compiles warm the persistent cache for the bench run.
-            # --ema-interval k: one EMA update per k steps via lax.cond (the
-            # recipe cadence is one update per 256 per-rank images; a K=1
-            # fallback at mb updates the optimizer every mb images, so the
-            # cadence-faithful interval is 256/mb - see bench._run_config).
+            # --ema-interval k: one EMA update per k steps (the recipe cadence
+            # is one update per 256 per-rank images; a K=1 fallback at mb
+            # updates the optimizer every mb images, so the cadence-faithful
+            # interval is 256/mb). --ema-mode step folds the skip into the
+            # step graph as a lax.cond (+~49MB cond buffers - OOMs stage-4
+            # mb8); mode host keeps the step graph EMA-free and dispatches
+            # make_ema_step every k-th step from python (bench K=1 fallback).
             ema_cfg = bench.STAGE_EMA.get(args.stage)
-            step_kwargs = dict(
-                ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
-                ema_start=0, ema_update_interval=args.ema_interval,
-            )
+            ema_smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
+            if not (args.ema_interval > 1 and args.ema_mode == "host"):
+                step_kwargs = dict(
+                    ema_smoothing=ema_smoothing,
+                    ema_start=0, ema_update_interval=args.ema_interval,
+                )
         step_fn = jax.jit(
             make_train_step(model, tx, sched,
                             microbatch_size=args.mb if args.accum > 1 else None,
@@ -431,6 +437,20 @@ def run(args):
             state, metrics = step_fn(state, batch, rng)
         final_loss = float(metrics["loss"])
         dt = (time.time() - t0) / args.steps
+        if args.ema and args.ema_interval > 1 and args.ema_mode == "host":
+            from micro_diffusion_tpu.train import make_ema_step
+            ema_fn = jax.jit(make_ema_step(ema_smoothing), donate_argnums=(0,))
+            state = ema_fn(state)
+            float(jax.tree.leaves(state.ema_params)[0].reshape(-1)[0])
+            t0 = time.time()
+            for _ in range(4):
+                state = ema_fn(state)
+            float(jax.tree.leaves(state.ema_params)[0].reshape(-1)[0])
+            dt_ema = (time.time() - t0) / 4
+            log(f"host ema apply: {dt_ema * 1e3:.1f} ms per update "
+                f"(every {args.ema_interval} steps)")
+            cfg["ema_mode"] = "host"
+            dt = dt + dt_ema / args.ema_interval
     img_s = batch_size / dt
 
     rec = {"kind": "train_step", **cfg, "ms_per_step": round(dt * 1e3, 1),
@@ -466,8 +486,14 @@ def main():
     p.add_argument("--ema", action="store_true",
                    help="enable EMA in the timed step (bf16 storage, stage-3/4 recipe)")
     p.add_argument("--ema-interval", type=int, default=1, dest="ema_interval",
-                   help="EMA update every k steps (lax.cond skip; recipe-"
-                   "faithful cadence for K=1 fallback legs is 256/mb)")
+                   help="EMA update every k steps (recipe-faithful cadence "
+                   "for K=1 fallback legs is 256/mb)")
+    p.add_argument("--ema-mode", default="host", choices=["step", "host"],
+                   dest="ema_mode",
+                   help="interval>1 skip mechanism: 'step' = lax.cond inside "
+                   "the step graph (+~49MB cond buffers), 'host' = separate "
+                   "jitted make_ema_step dispatched every k-th step (bench "
+                   "K=1 fallback semantics)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "flash", "flash_lane", "flash_bh", "flash_bthd"],
                    help="attention backend (static module attr)")
