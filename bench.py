@@ -291,6 +291,7 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # 15.75G) where the plain no-EMA step fits; EMA-every-step costs ~11ms of
     # param+EMA HBM traffic per step, 256/mb times the recipe's share.
     host_ema = ema is not None and accum_pref == "none" and k_recipe > 1
+    k1_fallback_tag = None
     k1_kwargs = dict(step_kwargs)
     if host_ema:
         for kk in ("ema_smoothing", "ema_start", "ema_update_interval"):
@@ -299,16 +300,48 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         make_train_step(model, tx, sched, microbatch_size=None, **k1_kwargs),
         donate_argnums=(0,),
     )
-    dt1, loss1, state = _time_step(
-        step1, state, _make_batch(mb, latent_res), rng, timed_steps,
-        f"[{name}] K=1",
-    )
+    try:
+        dt1, loss1, state = _time_step(
+            step1, state, _make_batch(mb, latent_res), rng, timed_steps,
+            f"[{name}] K=1",
+        )
+    except Exception as e:  # noqa: BLE001 - compile 500 / OOM at value fetch
+        # Compile-OOM projections are service-epoch dependent: the EMA-FREE
+        # K=1 graph (host-EMA leg) was measured to 500 the remote compiler in
+        # an epoch where the EMA-IN-STEP graph of the SAME config compiled and
+        # ran (2026-08-18, stage-4 mb8 onehot). Before abandoning the rung,
+        # retry with EMA folded back into the step at interval 1 - the
+        # measured-good graph that the persistent cache most likely holds.
+        if not host_ema:
+            raise
+        log(f"[{name}] host-EMA K=1 graph failed ({str(e)[:100]}); "
+            f"retrying with in-step EMA")
+        host_ema = False
+        accum_pref = "none"  # rung already declared accumulation infeasible
+        k1_fallback_tag = "k1_instep_ema"
+        k1_kwargs = dict(step_kwargs)
+        state = None
+        gc.collect()
+        state = _fresh_state()
+        step1 = jax.jit(
+            make_train_step(model, tx, sched, microbatch_size=None,
+                            **k1_kwargs),
+            donate_argnums=(0,),
+        )
+        dt1, loss1, state = _time_step(
+            step1, state, _make_batch(mb, latent_res), rng, timed_steps,
+            f"[{name}] K=1 (in-step EMA)",
+        )
     bare_img_s = mb / dt1
     log(f"[{name}] remat={policy} mb{mb} K=1: {dt1 * 1e3:.1f} ms = "
         f"{bare_img_s:.1f} img/s (loss {loss1:.4f})")
 
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
+    if k1_fallback_tag:
+        # In-step EMA applied every step (not the recipe's per-update cadence):
+        # the bare number IS the recipe number, conservatively.
+        return bare_img_s, bare_img_s, mb, k1_fallback_tag
     if host_ema:
         ema_fn = jax.jit(make_ema_step(ema), donate_argnums=(0,))
         state = ema_fn(state)
@@ -412,8 +445,12 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
     flow_dtype = step_kwargs.pop("param_flow_dtype", None)
     grad_fn = jax.jit(make_grad_step(model, param_flow_dtype=flow_dtype),
                       donate_argnums=(1,))
+    # Donate the accumulator too: it is consumed by apply_step, and keeping
+    # its 2.33GB (bf16, XL) alive as a read-only input denies XLA that space
+    # for optimizer temps - measured runtime RESOURCE_EXHAUSTED at stage-3
+    # mb32 K=8 (2026-08-18) where the same cycle fit with the buffer freed.
     apply_fn = jax.jit(make_apply_step(tx, sched, **step_kwargs),
-                       static_argnums=(2,), donate_argnums=(0,))
+                       static_argnums=(2,), donate_argnums=(0, 1))
     # ONE jitted dispatch for the zeroed accumulator: eagerly materializing
     # ~10^3 per-tensor zeros costs ~0.15ms/op through the axon relay
     # (+150-220ms/cycle, measured - it erased the amortization win).

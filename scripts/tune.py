@@ -363,8 +363,10 @@ def run(args):
         acc_dtype = jnp.bfloat16 if args.accum_dtype == "bf16" else jnp.float32
         grad_fn = jax.jit(make_grad_step(model, param_flow_dtype=flow_dtype),
                           donate_argnums=(1,))
+        # donate acc too (consumed by apply): its 2.33GB read-only residency
+        # caused runtime OOM at stage-3 mb32 K=8 (see bench._time_dispatch_recipe)
         apply_fn = jax.jit(make_apply_step(tx, sched, **apply_kwargs),
-                           static_argnums=(2,), donate_argnums=(0,))
+                           static_argnums=(2,), donate_argnums=(0, 1))
         mbatch = make_batch(args.mb, res)
         # python-side step counter: folding rng with the traced state.step would be
         # an eager op (slow through the remote-compile relay)

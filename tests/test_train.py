@@ -355,6 +355,50 @@ def test_bench_dispatch_recipe_leg(monkeypatch):
     assert img_s2 > 0 and np.isfinite(loss2)
 
 
+def test_bench_host_ema_fallback_to_instep(monkeypatch):
+    """bench._run_config's host-EMA K=1 rung falls back to the in-step-EMA
+    graph when the EMA-free step fails to compile (service epochs were
+    measured to 500 the EMA-free stage-3/4 graphs while the in-step-EMA
+    graph of the SAME config compiled and ran, 2026-08-18)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import bench
+
+    def tiny_xl(input_size, remat, remat_policy, moe_dispatch):
+        return DiT(
+            input_size=input_size, patch_size=2, in_channels=4, dim=64,
+            depth=2, head_dim=16, multiple_of=32, caption_channels=1024,
+            qkv_multipliers=(1.0,), ffn_multipliers=(2.0,),
+            use_patch_mixer=True, patch_mixer_depth=1, patch_mixer_dim=48,
+            use_bias=False, num_experts=4, expert_capacity=2.0,
+            dtype=jnp.float32, moe_dispatch=moe_dispatch,
+        )
+
+    monkeypatch.setattr(bench, "MicroDiT_XL_2", tiny_xl)
+    monkeypatch.setattr(bench, "PER_RANK_BATCH", 8)  # mb=4 -> k_recipe=2
+
+    real_time_step = bench._time_step
+    calls = {"n": 0}
+
+    def failing_first(step_fn, state, batch, rng, timed_steps, label):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the EMA-free host-EMA K=1 graph "500s"
+            raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+        return real_time_step(step_fn, state, batch, rng, timed_steps, label)
+
+    monkeypatch.setattr(bench, "_time_step", failing_first)
+    recipe_img_s, bare_img_s, mb, accum = bench._run_config(
+        "res512_mask0", latent_res=16, mask_ratio=0.0, policy="none",
+        mb=4, timed_steps=1, moe_dispatch="onehot", use_ema=True,
+        accum_pref="none",
+    )
+    assert calls["n"] == 2  # failed host-EMA leg, then the in-step retry
+    assert accum == "k1_instep_ema"
+    assert recipe_img_s == bare_img_s and np.isfinite(recipe_img_s)
+
+
 def test_sharded_train_step_8_devices():
     """Full train step jitted over a (data=2, fsdp=2, tensor=2) mesh: dp grad sync,
     ZeRO-2 opt-state sharding, and expert-parallel MoE tensors."""
