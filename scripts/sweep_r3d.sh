@@ -23,7 +23,12 @@ run --stage res512_mask75 --remat attn_moe --mb 32 --moe onehot --ema
 # 3-4: stage-1/2 K=1 legs (bench times K=1 before the dispatch leg)
 run --stage res256_mask75 --remat attn_moe --mb 128 --moe onehot
 run --stage res256_mask0 --remat attn_moe --mb 64 --moe onehot
-# 5: stage-4 host-EMA retry under a fresh process epoch (if it compiles, bench
+# 5-6: dispatch-leg retries WITH the donated-accumulator apply (the read-only
+#    acc residency runtime-OOMed stage-3 mb32 K=8 at 14:48 and stage-1 mb128
+#    K=2 at 15:02 under the pre-fix tune.py)
+run --stage res256_mask75 --remat attn_moe --mb 128 --accum 2 --accum-mode dispatch --accum-dtype bf16
+run --stage res512_mask75 --remat attn_moe --mb 32 --accum 8 --accum-mode dispatch --accum-dtype bf16
+# 7: stage-4 host-EMA retry under a fresh process epoch (if it compiles, bench
 #    gets the faster recipe-cadence number; its ema_step graph is tiny)
 run --stage res512_mask0 --remat attn_moe --mb 8 --moe onehot --ema --ema-interval 32
 
