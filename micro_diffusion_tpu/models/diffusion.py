@@ -434,6 +434,7 @@ def create_latent_diffusion(
     remat_policy: str = "full",
     moe_dispatch: str = "onehot",
     attention_impl: str = "auto",
+    fused_adaln: bool = False,
 ) -> LatentDiffusion:
     """Model factory with the reference signature (model.py:356-405).
 
@@ -465,6 +466,9 @@ def create_latent_diffusion(
         moe_dispatch=moe_dispatch,
         # attention backend ('auto'|'xla'|'flash'|'flash_bthd'; ops/attention.py)
         attention_impl=attention_impl,
+        # fused adaLN LayerNorm+modulate Pallas pass (ops/adaln.py); a static
+        # config field, not an env var
+        fused_adaln=fused_adaln,
     )
 
     vae = text_encoder = tokenizer = None

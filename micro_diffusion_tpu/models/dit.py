@@ -98,6 +98,7 @@ class DiTBlock(nn.Module):
     attn_remat_proj: bool = False
     moe_dispatch: str = "onehot"
     attn_impl: str = "auto"
+    fused_adaln: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -120,7 +121,8 @@ class DiTBlock(nn.Module):
             ada, 6, axis=1
         )
 
-        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm1")(
+        h = LayerNorm(self.dim, eps=self.norm_eps, fused_adaln=self.fused_adaln,
+                      dtype=self.dtype, name="norm1")(
             x, shift_msa, scale_msa
         )
         h = SelfAttention(
@@ -153,7 +155,8 @@ class DiTBlock(nn.Module):
             name="cross_attn",
         )(h, y)
 
-        h = LayerNorm(self.dim, eps=self.norm_eps, dtype=self.dtype, name="norm3")(
+        h = LayerNorm(self.dim, eps=self.norm_eps, fused_adaln=self.fused_adaln,
+                      dtype=self.dtype, name="norm3")(
             x, shift_mlp, scale_mlp
         )
         if self.moe_block:
@@ -245,8 +248,17 @@ class DiT(nn.Module):
     # one process cannot diverge silently (round-2 advisor finding).
     moe_dispatch: str = "onehot"
     # Attention backend ('auto' | 'xla' | 'flash' | 'flash_bthd'; ops/attention.py).
-    # 'auto' dispatches flash at Tq >= 512 on TPU (the measured in-step crossover).
+    # On TPU 'auto' dispatches the lane-packed flash kernel at EVERY supported
+    # shape (head_dim 64, even H): with zero relayout copies around the custom
+    # call it beat the XLA path in-step at all MicroDiT lengths (round 3,
+    # commit cedfe94). Where the lane kernel does not apply, flash-bh takes over
+    # only at Tq >= 512 (it pays host transposes) and XLA runs below.
     attention_impl: str = "auto"
+    # Fuse each adaLN LayerNorm+modulate into one Pallas VMEM pass
+    # (ops/adaln.py). Off by default: XLA fuses the unfused chain well and the
+    # kernel never won a bench rung; kept as a config choice with an
+    # equivalence test (tests/test_adaln.py).
+    fused_adaln: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -386,6 +398,7 @@ class DiT(nn.Module):
                     attn_remat_proj=attn_lean,
                     moe_dispatch=self.moe_dispatch,
                     attn_impl=self.attention_impl,
+                    fused_adaln=self.fused_adaln,
                     dtype=self.dtype,
                     name=f"patch_mixer_{i}",
                 )
@@ -433,6 +446,7 @@ class DiT(nn.Module):
                 attn_remat_proj=attn_lean,
                 moe_dispatch=self.moe_dispatch,
                 attn_impl=self.attention_impl,
+                fused_adaln=self.fused_adaln,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )
@@ -445,6 +459,7 @@ class DiT(nn.Module):
             patch_size=self.patch_size,
             out_channels=self.out_channels,
             norm_eps=self.norm_eps,
+            fused_adaln=self.fused_adaln,
             dtype=self.dtype,
         )
 

@@ -77,13 +77,18 @@ class LayerNorm(nn.Module):
     Statistics are computed in fp32; output is cast back to the compute dtype.
 
     When called with (shift, scale), computes modulate(LN(x), shift, scale)
-    (dit.py:236-238); with MDT_FUSED_ADALN=1 that path runs as one fused Pallas VMEM
-    pass (ops/adaln.py) instead of the unfused chain.
+    (dit.py:236-238); with ``fused_adaln=True`` (a static config field plumbed
+    from DiT.fused_adaln) that path runs as one fused Pallas VMEM pass
+    (ops/adaln.py) instead of the unfused chain. Off by default: XLA already
+    fuses the unfused chain into neighboring ops, and the kernel never won a
+    bench rung - it stays as an opt-in config choice with an equivalence test
+    (tests/test_adaln.py).
     """
 
     dim: int
     eps: float = 1e-6
     use_scale: bool = True
+    fused_adaln: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -93,16 +98,18 @@ class LayerNorm(nn.Module):
         shift: Optional[jax.Array] = None,
         scale: Optional[jax.Array] = None,
     ) -> jax.Array:
-        import os
-
         w = (
             self.param("weight", jax.nn.initializers.ones, (self.dim,), jnp.float32)
             if self.use_scale
             else None
         )
-        if shift is not None and os.environ.get("MDT_FUSED_ADALN") == "1":
+        if shift is not None and self.fused_adaln:
+            import os
+
             from ..ops.adaln import layernorm_modulate
 
+            # MDT_ATTENTION_INTERPRET is a debug-only toggle (Pallas interpret
+            # mode for kernel-logic tests off-TPU), not a behavior knob.
             interpret = os.environ.get("MDT_ATTENTION_INTERPRET") == "1"
             return layernorm_modulate(x, w, shift, scale, self.eps, interpret)
 
@@ -247,8 +254,9 @@ class FeedForwardECMoe(nn.Module):
     #               elementwise so its cotangent is a rowwise dot. TWO one-hot
     #               matmuls per layer instead of autodiff-onehot's five
     #               (~26% of the 512px-mask0 step FLOPs), no scatter anywhere.
-    #               Fused Pallas expert FFN. Default.
-    #   'onehot'  - per-sample one-hot dispatch AND gate-weighted combine as
+    #               Fused Pallas expert FFN.
+    #   'onehot'  - THE DEFAULT (measured fastest at every benched stage): per-
+    #               sample one-hot dispatch AND gate-weighted combine as
     #               batched-n matmuls + fused Pallas expert FFN (ops/moe_ffn.py):
     #               the (e, m, f) hiddens never touch HBM and there is no
     #               gather/scatter at all - but plain autodiff pays 5 one-hot
@@ -707,6 +715,7 @@ class T2IFinalLayer(nn.Module):
     patch_size: int
     out_channels: int
     norm_eps: float = 1e-6
+    fused_adaln: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -718,7 +727,8 @@ class T2IFinalLayer(nn.Module):
             name="adaLN_modulation_1",
         )(ada)
         shift, scale = jnp.split(ada, 2, axis=1)
-        x = LayerNorm(self.hidden_size, eps=self.norm_eps, dtype=self.dtype,
+        x = LayerNorm(self.hidden_size, eps=self.norm_eps,
+                      fused_adaln=self.fused_adaln, dtype=self.dtype,
                       name="norm_final")(x, shift, scale)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels, use_bias=True,

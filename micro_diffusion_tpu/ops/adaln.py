@@ -6,7 +6,8 @@ activation. This kernel computes the fp32 LN statistics and the affine+modulatio
 one VMEM pass. Forward-only with a custom VJP that falls back to the XLA composition
 for the backward (the backward is matmul-adjacent and XLA fuses it well).
 
-Usage: ops.adaln.layernorm_modulate(x, weight, shift, scale) - behind a flag with the
+Usage: ops.adaln.layernorm_modulate(x, weight, shift, scale) - behind the static
+config field ``DiT.fused_adaln`` (yaml ``model.fused_adaln``, default off) with the
 unfused path as reference (tests/test_adaln.py).
 """
 

@@ -2,10 +2,13 @@
 
 The reference (micro_diffusion/models/utils.py:127-132,188-193) relies on torch
 ``scaled_dot_product_attention`` (FlashAttention CUDA kernels). On TPU the equivalents are
-(a) the XLA-fused softmax(QK^T)V path, which XLA tiles onto the MXU, and (b) a Pallas
-flash-attention kernel (ops/flash_attention.py) for long sequences. Sequences in MicroDiT
-are short (<=1024 image tokens, 77/120 text tokens), so the XLA path is the default;
-the Pallas kernel is opt-in via ``use_flash``.
+(a) the XLA-fused softmax(QK^T)V path, which XLA tiles onto the MXU, and (b) Pallas
+flash-attention kernels (flash_attention_lane.py / flash_attention_bh.py /
+flash_attention.py). The default ('auto') dispatches the lane-packed Pallas kernel at
+EVERY MicroDiT shape - with zero relayout copies around the custom call it beat the XLA
+path in-step at all sequence lengths, 64 through 1024 (round 3, commit cedfe94). The XLA
+path remains the short-sequence fallback only where the lane kernel does not apply
+(head_dim != 64 or odd head count).
 
 Layout convention is (batch, seq, heads, head_dim) ("BTHD") everywhere - no transposes to
 (B, H, T, D) are materialized; XLA fuses the layout into the matmuls.

@@ -42,16 +42,17 @@ def test_gradients_match_reference():
 
 
 def test_full_dit_forward_fused_vs_unfused(monkeypatch):
-    """MDT_FUSED_ADALN=1 (interpret mode) must match the unfused model forward."""
+    """fused_adaln=True (interpret mode) must match the unfused model forward."""
     from micro_diffusion_tpu.models.dit import DiT
 
-    model = DiT(
+    kwargs = dict(
         input_size=16, patch_size=2, in_channels=4, dim=64, depth=2, head_dim=16,
         multiple_of=32, caption_channels=32, qkv_multipliers=(1.0,),
         ffn_multipliers=(2.0,), use_patch_mixer=True, patch_mixer_depth=1,
         patch_mixer_dim=64, use_bias=False, num_experts=4, expert_capacity=2.0,
         dtype=jnp.float32,
     )
+    model = DiT(**kwargs)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 4, 16, 16))
     t = jnp.full((2,), 0.4)
@@ -60,9 +61,11 @@ def test_full_dit_forward_fused_vs_unfused(monkeypatch):
     params = jax.tree.map(lambda p: p + 0.01 if p.ndim >= 2 else p, params)
 
     ref = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
-    monkeypatch.setenv("MDT_FUSED_ADALN", "1")
+    # fused_adaln is a static config field (NOT an env var) - same param tree,
+    # different compute path; interpret mode keeps the Pallas kernel CPU-runnable
+    fused_model = DiT(fused_adaln=True, **kwargs)
     monkeypatch.setenv("MDT_ATTENTION_INTERPRET", "1")
-    fused = jax.jit(lambda p: model.apply(p, x, t, y)["sample"])(params)
+    fused = jax.jit(lambda p: fused_model.apply(p, x, t, y)["sample"])(params)
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=5e-5, atol=5e-5
     )
