@@ -1,7 +1,9 @@
 from .optim import build_optimizer, build_schedule, ema_update
 from .train_step import (TrainState, create_train_state, make_train_step,
                          make_eval_step, make_grad_step, make_apply_step,
-                         make_ema_step, zero_grad_accumulator)
+                         make_ema_step, make_host_offload_ema_step,
+                         host_memory_sharding, offload_to_host,
+                         zero_grad_accumulator)
 
 __all__ = [
     "build_optimizer",
@@ -14,5 +16,8 @@ __all__ = [
     "make_grad_step",
     "make_apply_step",
     "make_ema_step",
+    "make_host_offload_ema_step",
+    "host_memory_sharding",
+    "offload_to_host",
     "zero_grad_accumulator",
 ]

@@ -74,6 +74,7 @@ def make_train_step(
     ema_update_interval: int = 1,
     accum_dtype: Any = jnp.float32,
     param_flow_dtype: Optional[Any] = None,
+    grad_shardings: Optional[Any] = None,
 ) -> Callable:
     """Build the train step fn(state, batch, base_rng) -> (state, metrics).
 
@@ -103,8 +104,24 @@ def make_train_step(
     parameter cotangents are bf16-rounded once per step (torch amp keeps fp32
     grads); opt-in per config, trajectory-equivalence covered in
     tests/test_train.py.
+
+    ``grad_shardings``: optional pytree of NamedShardings (params-shaped). When
+    set, the microbatch gradient accumulator is pinned to those shardings with
+    ``lax.with_sharding_constraint`` - the true ZeRO-2 / FSDP SHARD_GRAD_OP
+    semantics (reference configs/res_256_pretrain.yaml:117-118): XLA
+    reduce-scatters each microbatch's gradients into the sharded accumulator
+    instead of all-reducing into a replicated one, so the params-sized carry
+    costs 1/fsdp of the replicated footprint per device and the grad traffic
+    rides ICI as reduce-scatter. Pass parallel.opt_state-style shardings (shard
+    the largest divisible axis); single-device configs leave this None (no-op).
     """
     from .optim import ema_update
+
+    def _constrain(grads):
+        if grad_shardings is None:
+            return grads
+        return jax.tree.map(jax.lax.with_sharding_constraint, grads,
+                            grad_shardings)
 
     def loss_fn(params, rng, microbatch):
         loss, _, _ = model.forward(params, rng, microbatch, train=True)
@@ -126,21 +143,23 @@ def make_train_step(
             acc_loss, acc_grads = acc
             return (
                 acc_loss + loss,
-                jax.tree.map(
+                _constrain(jax.tree.map(
                     lambda a, g: a + g.astype(accum_dtype), acc_grads, grads
-                ),
+                )),
             ), None
 
-        zero_grads = jax.tree.map(
+        zero_grads = _constrain(jax.tree.map(
             lambda p: jnp.zeros(p.shape, accum_dtype), state.params
-        )
+        ))
         (loss_sum, grad_sum), _ = jax.lax.scan(
             micro_step,
             (jnp.zeros((), jnp.float32), zero_grads),
             (jnp.arange(n), micro),
         )
         loss = loss_sum / n
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
+        grads = _constrain(
+            jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
+        )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -266,6 +285,79 @@ def make_ema_step(smoothing: float) -> Callable:
         return state.replace(ema_params=new_ema)
 
     return ema_step
+
+
+def host_memory_sharding(device: Optional[Any] = None):
+    """Sharding that parks an array in the accelerator HOST's RAM (pinned_host
+    memory kind) instead of HBM. Transfers ride the host PCIe DMA link
+    (measured on this v5e through the axon relay: H2D ~11.6 GB/s, D2H ~2.9
+    GB/s at 1GB - scripts/probe_hostmem.py, 2026-08-19)."""
+    device = device or jax.devices()[0]
+    return jax.sharding.SingleDeviceSharding(device, memory_kind="pinned_host")
+
+
+def offload_to_host(tree: Any, device: Optional[Any] = None) -> Any:
+    """Move a pytree of device arrays to pinned host memory."""
+    s_host = host_memory_sharding(device)
+    return jax.device_put(tree, jax.tree.map(lambda _: s_host, tree))
+
+
+def make_host_offload_ema_step(
+    smoothing: float, ema_tree: Any, device: Optional[Any] = None,
+) -> Callable:
+    """EMA update with the EMA tree RESIDENT in TPU-host memory (pinned_host):
+    fn(ema_host, params) -> new ema_host (donated in place).
+
+    This is the single-chip stage-4 unlock (VERDICT round-3 item 1): the bf16
+    EMA buffer (2.33GB for XL) is only touched once per recipe optimizer
+    update (update_interval 1ba = once per 256 per-rank images), yet resident
+    in HBM it blocks the bf16 grad accumulator. Parked in host RAM it costs
+    one H2D read + one D2H write per recipe update (~1.0s for XL at the
+    measured link rates, amortized over the K-microbatch cycle) and frees the
+    2.33GB for the accumulator.
+
+    The decay math runs on device in fp32 (exactly optim.ema_update) and the
+    result is written back to host storage. The jit declares EXPLICIT host
+    in/out shardings: this environment's AOT compile helper 500s on any graph
+    whose host-memory operands are left to sharding inference ("layout for
+    this output is not set to host memory", scripts/probe_hostmem.py).
+
+    ``ema_tree`` is the live EMA pytree: the returned jit pins its in/out
+    shardings to wherever those leaves actually reside, so the same factory
+    serves the pinned-host mode (TPU) and a plain device-memory mode (CPU
+    tests - XLA:CPU's runtime has no annotate_device_placement custom call,
+    so host-memory graphs cannot EXECUTE there; the pinned-host path is
+    exercised on real hardware by scripts/probe_hostmem.py and bench.py).
+    """
+    device = device or jax.devices()[0]
+    s_dev = jax.sharding.SingleDeviceSharding(device)
+    ema_sh = jax.tree.map(lambda l: l.sharding, ema_tree)
+    dev_tree = jax.tree.map(lambda _: s_dev, ema_tree)
+    host_mode = any(
+        getattr(s, "memory_kind", "device") == "pinned_host"
+        for s in jax.tree.leaves(ema_sh)
+    )
+
+    def ema_fn(ema, params):
+        # Host-memory operands are explicitly staged into device memory space
+        # before compute (XLA rejects mixed-memory-space elementwise ops);
+        # out_shardings moves the result back to pinned_host.
+        stage = (lambda e: jax.device_put(e, s_dev)) if host_mode else (
+            lambda e: e)
+        return jax.tree.map(
+            lambda e, p: (
+                smoothing * stage(e).astype(jnp.float32)
+                + (1.0 - smoothing) * p.astype(jnp.float32)
+            ).astype(e.dtype),
+            ema, params,
+        )
+
+    return jax.jit(
+        ema_fn,
+        in_shardings=(ema_sh, dev_tree),
+        out_shardings=ema_sh,
+        donate_argnums=(0,),
+    )
 
 
 def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):

@@ -166,6 +166,46 @@ def test_ema_update_interval():
     np.testing.assert_allclose(got, ref, rtol=1e-6)
 
 
+def test_host_offload_ema_step():
+    """EMA with the EMA tree parked off-HBM (the stage-4 single-chip unlock,
+    VERDICT round-3 item 1). XLA:CPU can device_put TO pinned_host but its
+    runtime cannot EXECUTE memory-space-annotated graphs (no
+    annotate_device_placement custom call), so here: (a) the offload placement
+    itself, (b) the update fn's math/dtype/donation in its device-memory mode
+    (the factory follows the EMA tree's actual placement). The pinned-host
+    execution path is validated on real TPU (scripts/probe_hostmem.py;
+    bench.py stage-4 rungs)."""
+    from micro_diffusion_tpu.train import (
+        make_host_offload_ema_step,
+        offload_to_host,
+    )
+
+    params = {"a": jnp.full((8, 4), 1.25, jnp.float32),
+              "b": jnp.arange(6, dtype=jnp.float32)}
+    # numpy originals: the donated jit below deletes whatever device buffers
+    # it is fed, so each use gets its own device_put copy
+    ema_np = {"a": np.ones((8, 4)), "b": np.zeros(6)}
+    ema = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), ema_np)
+    ema_host = offload_to_host(ema)
+    assert all(
+        l.sharding.memory_kind == "pinned_host"
+        for l in jax.tree.leaves(ema_host)
+    )
+
+    ema_dev = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), ema_np)
+    fn = make_host_offload_ema_step(0.9, ema_dev)
+    e1 = fn(ema_dev, params)
+    e2 = fn(e1, params)  # donated chain
+    ema = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), ema_np)
+    ref = ema_update(ema, params, jnp.asarray(1), smoothing=0.9, ema_start=0)
+    ref = ema_update(ref, params, jnp.asarray(2), smoothing=0.9, ema_start=0)
+    for k in ("a", "b"):
+        assert e2[k].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(e2[k], np.float32), np.asarray(ref[k], np.float32)
+        )
+
+
 def test_train_step_single_device():
     model = micro_model()
     params = model.init(jax.random.PRNGKey(0))
@@ -448,6 +488,47 @@ def test_sharded_train_step_8_devices():
     batch = jax.tree.map(lambda x: jax.device_put(x, b_sh), make_batch(8))
     state, metrics = step(state, batch, rng)
     assert int(state.step) == 2
+
+
+def test_grad_shardings_zero2_matches_replicated():
+    """make_train_step(grad_shardings=...) pins the microbatch grad accumulator
+    to the ZeRO-2 shard layout (reduce-scatter instead of all-reduce, true
+    FSDP SHARD_GRAD_OP semantics). The numerics must be identical to the
+    replicated-accumulator step."""
+    assert jax.device_count() == 8
+    from micro_diffusion_tpu.parallel.sharding import opt_state_spec
+
+    mesh = make_mesh(data=2, fsdp=4, tensor=1)
+    model = micro_model()
+    params = model.init(jax.random.PRNGKey(0))
+    sched = cosine_with_warmup(1e-3, 10, 1000, 0.0)
+    tx = build_optimizer(params, sched, clip_norm=0.25)
+    p_sh = param_shardings(params, mesh)
+    params = jax.tree.map(jax.device_put, params, p_sh)
+    batch = make_batch(8)
+    rng = jax.random.PRNGKey(3)
+
+    state_a = create_train_state(params, tx)
+    plain = jax.jit(make_train_step(model, tx, sched, microbatch_size=4))
+    state_a, metrics_a = plain(state_a, batch, rng)
+
+    grad_sh = jax.tree.map(
+        lambda l: NamedSharding(mesh, opt_state_spec(l, mesh)), params
+    )
+    state_b = create_train_state(params, tx)
+    zero2 = jax.jit(make_train_step(model, tx, sched, microbatch_size=4,
+                                    grad_shardings=grad_sh))
+    state_b, metrics_b = zero2(state_b, batch, rng)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(metrics_a["grad_norm"]), float(metrics_b["grad_norm"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_sharded_dispatch_accumulation_matches_fused():
