@@ -1,8 +1,7 @@
 from .optim import build_optimizer, build_schedule, ema_update
 from .train_step import (TrainState, create_train_state, make_train_step,
                          make_eval_step, make_grad_step, make_apply_step,
-                         make_ema_step, make_host_offload_ema_step,
-                         host_memory_sharding, offload_to_host,
+                         make_ema_step, HostEMA, host_memory_sharding,
                          zero_grad_accumulator)
 
 __all__ = [
@@ -16,8 +15,7 @@ __all__ = [
     "make_grad_step",
     "make_apply_step",
     "make_ema_step",
-    "make_host_offload_ema_step",
+    "HostEMA",
     "host_memory_sharding",
-    "offload_to_host",
     "zero_grad_accumulator",
 ]

@@ -296,68 +296,156 @@ def host_memory_sharding(device: Optional[Any] = None):
     return jax.sharding.SingleDeviceSharding(device, memory_kind="pinned_host")
 
 
-def offload_to_host(tree: Any, device: Optional[Any] = None) -> Any:
-    """Move a pytree of device arrays to pinned host memory."""
-    s_host = host_memory_sharding(device)
-    return jax.device_put(tree, jax.tree.map(lambda _: s_host, tree))
+class HostEMA:
+    """EMA of the params, stored as flat reduced-precision CHUNKS in the TPU
+    host's pinned RAM - zero HBM residency between updates.
 
+    The single-chip stage-4 unlock (VERDICT round-3 item 1): the bf16 EMA
+    buffer (2.33GB for XL) is touched only once per recipe optimizer update
+    (update_interval 1ba = once per 256 per-rank images), yet resident in HBM
+    it blocks the bf16 grad accumulator and caps the microbatch. Parked in
+    host RAM it costs one H2D read + one D2H write of the EMA bytes per
+    recipe update (~1.0s for XL at the measured link rates: H2D ~11.6 GB/s,
+    D2H ~2.9 GB/s) and frees the 2.33GB.
 
-def make_host_offload_ema_step(
-    smoothing: float, ema_tree: Any, device: Optional[Any] = None,
-) -> Callable:
-    """EMA update with the EMA tree RESIDENT in TPU-host memory (pinned_host):
-    fn(ema_host, params) -> new ema_host (donated in place).
+    Hard-won constraints of this environment's AOT compile helper
+    (scripts/probe_hosttree.py, 2026-08-19): a jit graph touching pinned_host
+    memory compiles ONLY with single-array arguments and a single-array
+    result - any pytree/tuple operand or result 500s the helper ("layout for
+    this output is not set to host memory"), and host arrays created by plain
+    ``jax.device_put`` poison later traces with mixed-memory-space avals.
+    Hence the design here:
 
-    This is the single-chip stage-4 unlock (VERDICT round-3 item 1): the bf16
-    EMA buffer (2.33GB for XL) is only touched once per recipe optimizer
-    update (update_interval 1ba = once per 256 per-rank images), yet resident
-    in HBM it blocks the bf16 grad accumulator. Parked in host RAM it costs
-    one H2D read + one D2H write per recipe update (~1.0s for XL at the
-    measured link rates, amortized over the K-microbatch cycle) and frees the
-    2.33GB for the accumulator.
+      * the EMA lives as N flat chunks, each a SINGLE host array created by a
+        single-in/single-out jit;
+      * a device-only flatten jit (pytree params in, flat chunks out - no
+        host memory involved, so trees are fine) produces the params chunks;
+      * each chunk updates through its own single-in/single-out jitted decay
+        e' = s*e + (1-s)*p with explicit host in/out shardings (fp32 math,
+        chunk dtype storage - same numerics as optim.ema_update).
 
-    The decay math runs on device in fp32 (exactly optim.ema_update) and the
-    result is written back to host storage. The jit declares EXPLICIT host
-    in/out shardings: this environment's AOT compile helper 500s on any graph
-    whose host-memory operands are left to sharding inference ("layout for
-    this output is not set to host memory", scripts/probe_hostmem.py).
+    AND one more real-hardware bug (bisected 2026-08-19, scripts/
+    probe_decay_corruption.py + probe_ema_fix.py): a 16-BIT pinned_host
+    buffer written by one executable reads back PERMUTED in another (a host
+    layout mismatch XLA only hits for sub-32-bit host buffers; round-trips
+    through matching movers are exact, fp32 is exact). Fix: bf16 numerics are
+    stored BIT-PACKED two-per-uint32, so every host buffer is 32-bit.
+    probe_ema_fix.py measured the packed chain bit-exact vs the pure-device
+    decay chain on the real chip; the raw-bf16 control fails (err ~0.1).
 
-    ``ema_tree`` is the live EMA pytree: the returned jit pins its in/out
-    shardings to wherever those leaves actually reside, so the same factory
-    serves the pinned-host mode (TPU) and a plain device-memory mode (CPU
-    tests - XLA:CPU's runtime has no annotate_device_placement custom call,
-    so host-memory graphs cannot EXECUTE there; the pinned-host path is
-    exercised on real hardware by scripts/probe_hostmem.py and bench.py).
+    ``offload=False`` keeps the chunks in device memory through the identical
+    pack/decay/unpack path - the CPU-testable mode (XLA:CPU cannot execute
+    memory-space-annotated graphs: no annotate_device_placement runtime).
     """
-    device = device or jax.devices()[0]
-    s_dev = jax.sharding.SingleDeviceSharding(device)
-    ema_sh = jax.tree.map(lambda l: l.sharding, ema_tree)
-    dev_tree = jax.tree.map(lambda _: s_dev, ema_tree)
-    host_mode = any(
-        getattr(s, "memory_kind", "device") == "pinned_host"
-        for s in jax.tree.leaves(ema_sh)
-    )
 
-    def ema_fn(ema, params):
-        # Host-memory operands are explicitly staged into device memory space
-        # before compute (XLA rejects mixed-memory-space elementwise ops);
-        # out_shardings moves the result back to pinned_host.
-        stage = (lambda e: jax.device_put(e, s_dev)) if host_mode else (
-            lambda e: e)
-        return jax.tree.map(
-            lambda e, p: (
-                smoothing * stage(e).astype(jnp.float32)
-                + (1.0 - smoothing) * p.astype(jnp.float32)
-            ).astype(e.dtype),
-            ema, params,
+    def __init__(self, params: Any, smoothing: float,
+                 dtype: Any = jnp.bfloat16,
+                 chunk_bytes: int = 384 * 1024 * 1024,
+                 offload: bool = True,
+                 device: Optional[Any] = None):
+        self.smoothing = float(smoothing)
+        self.dtype = jnp.dtype(dtype)
+        device = device or jax.devices()[0]
+        self._s_dev = jax.sharding.SingleDeviceSharding(device)
+        self._s_store = (host_memory_sharding(device) if offload
+                         else self._s_dev)
+        self.offload = offload
+
+        if self.dtype.itemsize != 2:
+            raise ValueError("HostEMA stores 16-bit numerics (bit-packed "
+                             f"two-per-uint32 for host safety); got {dtype}")
+
+        leaves, self._treedef = jax.tree_util.tree_flatten(params)
+        self._shapes = [l.shape for l in leaves]
+        self._dtypes = [l.dtype for l in leaves]
+        total = sum(int(jnp.size(l)) for l in leaves)
+        self.total_elems = total
+        total_padded = total + (total % 2)  # pack pairs -> even length
+        self._total_padded = total_padded
+        per_chunk = max(2, (chunk_bytes // self.dtype.itemsize) & ~1)
+        self._bounds = []
+        start = 0
+        while start < total_padded:
+            self._bounds.append((start, min(start + per_chunk, total_padded)))
+            start += per_chunk
+
+        store_dtype = self.dtype
+
+        def flatten(tree):
+            flat = jnp.concatenate(
+                [jnp.ravel(l).astype(store_dtype)
+                 for l in jax.tree_util.tree_leaves(tree)]
+            )
+            if total_padded != total:
+                flat = jnp.pad(flat, (0, total_padded - total))
+            return tuple(flat[a:b] for a, b in self._bounds)
+
+        def pack(c):
+            # (2m,) 16-bit -> (m,) uint32, HALF-SPLIT: chunk's low half in the
+            # low 16 bits, high half in the high bits. Everything stays
+            # contiguous 1D (T(1024) linear tiling) - the natural pairwise
+            # bitcast route needs an (m, 2) intermediate whose TPU tile pads
+            # the minor dim 2 -> 128 lanes, a measured 64x HBM expansion
+            # (16GB temp for a 256MB chunk, scripts/probe_hostema_scaling.py).
+            u = jax.lax.bitcast_convert_type(c, jnp.uint16).astype(jnp.uint32)
+            m = u.shape[0] // 2
+            return u[:m] | (u[m:] << 16)
+
+        def unpack(u):  # (m,) uint32 -> (2m,) store_dtype, inverse of pack
+            lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+            hi = (u >> 16).astype(jnp.uint16)
+            return jax.lax.bitcast_convert_type(
+                jnp.concatenate([lo, hi]), store_dtype)
+
+        # device-only: pytree in, flat device chunks out (host memory never
+        # appears in this graph, so the tree operands are fine)
+        self._flatten = jax.jit(flatten)
+        # single-in/single-out host mover + decay (the proven patterns)
+        self._to_store = jax.jit(
+            pack, in_shardings=(self._s_dev,), out_shardings=self._s_store,
         )
+        s = self.smoothing
+        self._decay = jax.jit(
+            lambda e, p: pack((
+                s * unpack(e).astype(jnp.float32)
+                + (1.0 - s) * p.astype(jnp.float32)
+            ).astype(store_dtype)),
+            in_shardings=(self._s_store, self._s_dev),
+            out_shardings=self._s_store,
+            donate_argnums=(0,),
+        )
+        self._to_dev = jax.jit(
+            unpack, in_shardings=(self._s_store,), out_shardings=self._s_dev,
+        )
+        # probe = proven host->dev mover + a device-only slice (a fused
+        # unpack-and-index graph with a host operand trips the AOT helper:
+        # "Could not find a corresponding buffer for value ... constant")
+        self._probe = jax.jit(lambda c: c.astype(jnp.float32)[0])
+        self.chunks = [self._to_store(c) for c in self._flatten(params)]
 
-    return jax.jit(
-        ema_fn,
-        in_shardings=(ema_sh, dev_tree),
-        out_shardings=ema_sh,
-        donate_argnums=(0,),
-    )
+    def update(self, params: Any) -> None:
+        """ema <- s*ema + (1-s)*params, against POST-update params (reference
+        EMA cadence: once per optimizer update)."""
+        dev_chunks = self._flatten(params)
+        self.chunks = [self._decay(e, p)
+                       for e, p in zip(self.chunks, dev_chunks)]
+
+    def materialize(self) -> Any:
+        """Reassemble the EMA pytree on device (for eval/checkpointing)."""
+        flat = jnp.concatenate([self._to_dev(c) for c in self.chunks])
+        out, pos = [], 0
+        for shape, dt in zip(self._shapes, self._dtypes):
+            n = 1
+            for d in shape:
+                n *= d
+            out.append(flat[pos:pos + n].reshape(shape).astype(dt))
+            pos += n
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def block(self) -> float:
+        """Value-fetch barrier on the newest chunk (through the axon relay,
+        block_until_ready does not reliably block)."""
+        return float(self._probe(self._to_dev(self.chunks[-1])))
 
 
 def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):

@@ -490,12 +490,30 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
+    def _timed_batches(self):
+        """Iterate the train loader, accumulating host time spent WAITING on
+        it (input-pipeline stalls: decode, shuffle, IO) into
+        ``self.data_wait_s``. The device step is dispatched async, so with a
+        healthy pipeline this is ~0 even when the loader's raw rate is only
+        slightly above the step rate."""
+        it = iter(self.train_loader)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                return
+            self.data_wait_s += time.perf_counter() - t0
+            yield batch
+
     def fit(self) -> None:
         for cb in self.callbacks:
             cb.fit_start(self)
         rng = jax.random.PRNGKey(self.seed)
         pending_metrics = None
         t_start = time.time()
+        self.data_wait_s = 0.0
+        last_wait, last_wait_step = 0.0, self.global_step
         self.print(
             f"training to {self.max_steps}ba from step {self.global_step} on "
             f"{self.num_chips} chip(s), global batch {self.global_batch_size}, "
@@ -504,7 +522,7 @@ class Trainer:
 
         while self.global_step < self.max_steps:
             made_progress = False
-            for batch in self.train_loader:
+            for batch in self._timed_batches():
                 made_progress = True
                 step = self.global_step
                 if step >= self.max_steps:
@@ -520,7 +538,11 @@ class Trainer:
                         k: float(v) for k, v in jax.tree.map(np.asarray,
                                                              pending_metrics).items()
                     }
+                    wait_ms = (self.data_wait_s - last_wait) * 1e3 / max(
+                        1, next_step - last_wait_step)
+                    last_wait, last_wait_step = self.data_wait_s, next_step
                     self.log({f"loss/train/total": host_metrics["loss"],
+                              "trainer/data_wait_ms_per_step": wait_ms,
                               **{f"trainer/{k}": v for k, v in host_metrics.items()
                                  if k != "loss"}})
                     for cb in self.callbacks:
