@@ -23,7 +23,7 @@ usage() { sed -n '2,16p' "$0"; exit 1; }
 
 CKPT=$1; WEIGHTS_DIR=$2; OUTDIR=$3; shift 3
 
-CAPTIONS="" REAL="" INCEPTION="" DETECTIONS="" RUN_GENEVAL=0
+CAPTIONS="" REAL="" INCEPTION="" DETECTIONS="" RUN_GENEVAL=0 CLIP_WEIGHTS=""
 ARCH=MicroDiT_XL_2 LATENT_RES=64 IN_CHANNELS=4 POS_INTERP=2.0
 VAE_NAME=stabilityai/stable-diffusion-xl-base-1.0
 TE_NAME=openclip:hf-hub:apple/DFN5B-CLIP-ViT-H-14-378
@@ -38,6 +38,7 @@ while [ $# -gt 0 ]; do
     --geneval) RUN_GENEVAL=1; shift;;
     --geneval-manifest) GENEVAL_MANIFEST=$2; RUN_GENEVAL=1; shift 2;;
     --detections) DETECTIONS=$2; shift 2;;
+    --clip-weights) CLIP_WEIGHTS=$2; shift 2;;
     --arch) ARCH=$2; shift 2;;
     --latent_res) LATENT_RES=$2; shift 2;;
     --in_channels) IN_CHANNELS=$2; shift 2;;
@@ -58,6 +59,10 @@ VAE_DIR=$WEIGHTS_DIR; TE_DIR=$WEIGHTS_DIR; TOK_DIR=$WEIGHTS_DIR
 [ -d "$WEIGHTS_DIR/vae" ] && VAE_DIR=$WEIGHTS_DIR/vae
 [ -d "$WEIGHTS_DIR/text_encoder" ] && TE_DIR=$WEIGHTS_DIR/text_encoder
 [ -d "$WEIGHTS_DIR/tokenizer" ] && TOK_DIR=$WEIGHTS_DIR/tokenizer
+# clip/ = full CLIPModel snapshot for the OFFICIAL GenEval zero-shot color
+# judge (upstream geneval classifies detection crops with CLIP); without it
+# the scorer falls back to the offline hue heuristic.
+[ -z "$CLIP_WEIGHTS" ] && [ -d "$WEIGHTS_DIR/clip" ] && CLIP_WEIGHTS=$WEIGHTS_DIR/clip
 
 mkdir -p "$OUTDIR"
 GEN_ARGS=(--checkpoint "$CKPT" --dit_arch "$ARCH" --latent_res "$LATENT_RES"
@@ -102,9 +107,14 @@ EOF
     --captions "$OUTDIR/geneval_prompts.json" --outdir "$OUTDIR/geneval_images" \
     "${GEN_ARGS[@]}"
   if [ -n "$DETECTIONS" ]; then
+    CLIP_ARGS=()
+    [ -n "$CLIP_WEIGHTS" ] && CLIP_ARGS=(--clip_weights_dir "$CLIP_WEIGHTS" \
+                                         --clip_tokenizer_dir "$TOK_DIR")
     python -m micro_diffusion_tpu.eval.geneval evaluate \
       --manifest "$GENEVAL_MANIFEST" --detections "$DETECTIONS" \
-      --images_dir "$OUTDIR/geneval_images" | tee "$OUTDIR/geneval.json"
+      --images_dir "$OUTDIR/geneval_images" \
+      --results_jsonl "$OUTDIR/geneval_results.jsonl" \
+      "${CLIP_ARGS[@]+"${CLIP_ARGS[@]}"}" | tee "$OUTDIR/geneval.json"
   else
     cat <<MSG
 GenEval images are in $OUTDIR/geneval_images.

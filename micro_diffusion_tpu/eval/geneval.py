@@ -368,10 +368,15 @@ def score_generated_images(
     images: Optional[Sequence] = None,
     color_fn=hue_color_classifier,
     conf_threshold: float = 0.3,
+    results_out: Optional[List[Dict]] = None,
 ) -> Dict[str, float]:
     """Full detection->score bridge: judge every (manifest entry, detections) pair
     and aggregate to the GenEval table. ``detections_per_image[i]`` belongs to
-    ``manifest[i]``'s generated image."""
+    ``manifest[i]``'s generated image.
+
+    ``results_out``: optional list appended with one per-image record in the
+    upstream geneval results.jsonl schema ({filename, tag, prompt, correct}) -
+    field-for-field comparable with the official evaluate_images.py output."""
     results = []
     for i, entry in enumerate(manifest):
         correct = evaluate_detections(
@@ -382,6 +387,13 @@ def score_generated_images(
             conf_threshold=conf_threshold,
         )
         results.append({"tag": entry["tag"], "correct": correct})
+        if results_out is not None:
+            results_out.append({
+                "filename": f"{i:06d}.png",
+                "tag": entry["tag"],
+                "prompt": entry.get("prompt", ""),
+                "correct": bool(correct),
+            })
     return aggregate_scores(results)
 
 
@@ -434,6 +446,10 @@ def main(argv=None):
                          "color judge (default: hue heuristic fallback)")
     dp.add_argument("--clip_tokenizer_dir", default=None)
     dp.add_argument("--conf_threshold", type=float, default=0.3)
+    dp.add_argument("--results_jsonl", default=None,
+                    help="also write per-image records in the upstream "
+                         "geneval results.jsonl schema "
+                         "({filename, tag, prompt, correct})")
     args = p.parse_args(argv)
 
     if args.cmd == "prompts":
@@ -475,10 +491,17 @@ def main(argv=None):
             if args.clip_weights_dir
             else hue_color_classifier
         )
+        per_image: List[Dict] = []
         scores = score_generated_images(
             manifest, detections, images=images, color_fn=color_fn,
-            conf_threshold=args.conf_threshold,
+            conf_threshold=args.conf_threshold, results_out=per_image,
         )
+        scores["color_judge"] = ("clip_zero_shot" if args.clip_weights_dir
+                                 else "hue_heuristic")
+        if args.results_jsonl:
+            with open(args.results_jsonl, "w") as f:
+                for row in per_image:
+                    f.write(json.dumps(row) + "\n")
         print(json.dumps(scores, indent=2))
     else:
         results = json.load(open(args.results))

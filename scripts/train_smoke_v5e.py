@@ -61,6 +61,55 @@ def write_synthetic_latents(dirname: str, n: int, cap_seq: int = 77,
             })
 
 
+def loader_rate(cfg, datadir: str, steps: int, min_img_s: float) -> dict:
+    """Sustained input-pipeline rate: iterate the REAL train-time loader
+    (block shuffle on, fp16 decode, caption drop) for ``steps`` batches and
+    assert it beats the fastest stage's consumption rate (VERDICT round-3
+    item 9: stage-1 consumes 232 img/s/chip ~= 38 MB/s of fp16 latents; a
+    loader slower than that stalls the chip). CPU-only - measures the data
+    plane, not the step."""
+    import time
+
+    from micro_diffusion_tpu.datasets.latents_loader import (
+        build_streaming_latents_dataloader,
+    )
+
+    dcfg = dict(cfg["dataset"]["train"])
+    batch = int(cfg["dataset"]["train_batch_size"])
+    loader = build_streaming_latents_dataloader(
+        datadir=datadir,
+        batch_size=batch,
+        image_size=int(cfg["dataset"].get("image_size", 256)),
+        cap_drop_prob=float(cfg["dataset"].get("cap_drop_prob", 0.1)),
+        shuffle=True,
+        shuffle_algo=str(dcfg.get("shuffle_algo", "block")),
+        prefetch_factor=int(dcfg.get("prefetch_factor", 2)),
+        num_epochs=None,
+    )
+    it = iter(loader)
+    for _ in range(3):  # warmup: thread spin-up + page cache
+        next(it)
+    t0 = time.perf_counter()
+    n_img = 0
+    for _ in range(steps):
+        b = next(it)
+        n_img += len(next(iter(b.values())))
+    dt = time.perf_counter() - t0
+    img_s = n_img / dt
+    rec = {
+        "loader_img_per_sec": round(img_s, 1),
+        "batches": steps,
+        "batch_size": batch,
+        "min_required_img_per_sec": min_img_s,
+        "sustained_ok": bool(img_s >= min_img_s),
+    }
+    print(json.dumps(rec))
+    if not rec["sustained_ok"]:
+        raise SystemExit(
+            f"loader too slow: {img_s:.0f} < {min_img_s} img/s")
+    return rec
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--stage", default="res_256_pretrain",
@@ -72,6 +121,13 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=None,
                    help="synthetic dataset size (default: 2x the stage batch)")
     p.add_argument("--workdir", default=None)
+    p.add_argument("--loader-rate", action="store_true", dest="loader_rate",
+                   help="measure sustained loader-only throughput (>=1k "
+                        "batches, block shuffle on) and assert it beats "
+                        "--min-img-s; no TPU needed")
+    p.add_argument("--min-img-s", type=float, default=232.0, dest="min_img_s",
+                   help="sustained-rate floor: stage-1's measured "
+                        "consumption (BENCH_r03 231.7 img/s/chip)")
     p.add_argument("overrides", nargs="*", default=[],
                    help="extra key=value train.py overrides")
     args = p.parse_args(argv)
@@ -88,9 +144,16 @@ def main(argv=None):
     cfg = apply_overrides(load_config(config_path, args.stage), args.overrides)
     batch = int(cfg["dataset"]["train_batch_size"])
     n = args.n or max(2 * batch, 16)
+    if args.loader_rate:
+        n = args.n or 4 * batch
     if not os.path.exists(os.path.join(datadir, "index.json")):
         print(f"[smoke] writing {n} synthetic samples -> {datadir}", flush=True)
         write_synthetic_latents(datadir, n)
+
+    if args.loader_rate:
+        steps = max(args.steps, 1000) if args.steps == 6 else args.steps
+        loader_rate(cfg, datadir, steps, args.min_img_s)
+        return 0
 
     from train import main as train_main
     train_overrides = [

@@ -20,9 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_weights_dir(tmp_path):
-    """vae/ + text_encoder/ + tokenizer/ snapshot layout with tiny synthetic
-    weights in the exact HF formats the loaders consume."""
-    from test_clip_zero_shot import tiny_clip, write_clip_tokenizer
+    """vae/ + text_encoder/ + tokenizer/ + clip/ snapshot layout with tiny
+    synthetic weights in the exact HF formats the loaders consume. clip/ is a
+    FULL CLIPModel snapshot - run_eval.sh auto-detects it and switches the
+    GenEval color scorer from the hue heuristic to the official CLIP
+    zero-shot judge."""
+    from test_clip_zero_shot import tiny_clip, write_clip_tokenizer, write_snapshot
     from test_vae_oracle import _TorchVAE
 
     weights = tmp_path / "weights"
@@ -58,6 +61,9 @@ def build_weights_dir(tmp_path):
             "max_position_embeddings": 77,
             "hidden_act": "quick_gelu",
         }, f)
+
+    # --- full CLIPModel snapshot: the GenEval zero-shot color judge
+    write_snapshot(clip, cfg, str(weights / "clip"))
     return weights, cfg.text_config.hidden_size
 
 
@@ -144,8 +150,20 @@ def test_run_eval_script_full_chain(tmp_path):
     fid = json.loads((out / "fid.json").read_text())
     assert np.isfinite(fid["fid"]) and fid["fake_n"] == 3
 
-    # GenEval leg: per-prompt images + official scoring rules applied
+    # GenEval leg: per-prompt images + official scoring rules applied,
+    # colors judged by the CLIP zero-shot judge (weights/clip auto-detected
+    # by run_eval.sh; the 'colors' detection has no color field, so the judge
+    # classified the actual generated crop - its verdict on a random tiny
+    # model's output is arbitrary, so only the judge IDENTITY is asserted)
     assert len(os.listdir(out / "geneval_images")) >= 2
     scores = json.loads((out / "geneval.json").read_text())
     assert scores["single_object"] == 1.0
     assert "overall" in scores
+    assert scores["color_judge"] == "clip_zero_shot"
+    assert 0.0 <= scores["colors"] <= 1.0
+    # per-image records in the upstream geneval results.jsonl schema
+    rows = [json.loads(l) for l in
+            (out / "geneval_results.jsonl").read_text().splitlines()]
+    assert len(rows) == 2
+    assert set(rows[0]) == {"filename", "tag", "prompt", "correct"}
+    assert rows[0]["tag"] == "single_object" and rows[0]["correct"] is True
