@@ -36,6 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 from micro_diffusion_tpu.models.diffusion import LatentDiffusion
 from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
 from micro_diffusion_tpu.train import (
+    HostEMA,
     build_optimizer,
     create_train_state,
     make_apply_step,
@@ -135,12 +136,19 @@ STAGES = [
     # deterministic, so skip the doomed compiles. The pre-EMA phase (no EMA
     # buffer) accumulates fine (PRE_EMA_LADDERS).
     ("res512_mask75", 64, 0.75, 50_000,
-     # flow16 is NOT on this ladder: with the EMA buffer resident the bf16
-     # param copy it keeps live all step costs MORE than the bf16 grads save
-     # (stage-4 mb8 flow16 compile-OOMed 17.36G vs 15.75G, +1.61G net vs the
-     # fitting non-flow config - measured 2026-08-18); same accounting applies
-     # here, and a doomed rung costs a ~13-min compile.
-     (("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
+     # Round-4 lead rungs: "offload" = EMA bit-packed in pinned HOST RAM
+     # (HostEMA) -> zero HBM residency -> the bf16 dispatch accumulator fits
+     # and the leg runs TRUE recipe optimizer cadence (K=256/mb) with one
+     # packed host round-trip per update (VERDICT round-3 item 1). The K=1
+     # host-EMA rungs remain as fallbacks (accum_pref "none": in-HBM EMA
+     # blocks the accumulator - measured RESOURCE_EXHAUSTED).
+     # flow16 on the offload rung only: in dispatch mode the bf16 param cast
+     # is a per-grad-graph transient (not resident all step), killing the
+     # per-remat-region fp32->bf16 convert chain (VERDICT round-3 item 3a).
+     (("attn_moe", 32, "onehot", "offload", "flow16"),
+      ("attn_moe", 32, "onehot", "offload"),
+      ("dots_attn_moe", 16, "onehot", "offload"),
+      ("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
       ("dots_attn_moe_xlean_alean", 16, "hybrid"),
@@ -157,8 +165,16 @@ STAGES = [
      # (the resident bf16 param tree outweighs the halved grad traffic when
      # the EMA buffer is live). mb16 removed too: measured compile-OOM at
      # 17.28G/15.75G (+1.53G) even with the fused MoE kernels - the round-2
-     # projection held. mb8 is the stage-4 single-chip ceiling.
-     (("attn_moe", 8, "onehot", "none"),
+     # projection held. mb8 was the stage-4 single-chip ceiling WITH the EMA
+     # buffer resident; the round-4 "offload" rungs (EMA packed in pinned
+     # host RAM, TRUE recipe accumulation - see res512_mask75 note) retry
+     # mb16 and the lighter dots_attn_moe remat with the freed 2.33GB.
+     (("dots_attn_moe", 16, "onehot", "offload", "flow16"),
+      ("dots_attn_moe", 16, "onehot", "offload"),
+      ("attn_moe", 16, "onehot", "offload"),
+      ("dots_attn_moe", 8, "onehot", "offload"),
+      ("attn_moe", 8, "onehot", "offload"),
+      ("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),
@@ -261,7 +277,15 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # (4.66) + bf16 moments (2.33) + stage-4 activations on 16GB; the bench
     # stores EMA in bf16 (fp32 decay math inside each update, optim.ema_update)
     # and reports it. Multi-chip recipes shard the state and keep fp32.
-    state = create_train_state(params, tx, use_ema=ema is not None,
+    # accum_pref "offload": the EMA tree lives OFF-chip (HostEMA: bf16
+    # numerics bit-packed in pinned host RAM) - zero HBM residency, so the
+    # bf16 dispatch accumulator fits and the stage runs TRUE recipe optimizer
+    # cadence (VERDICT round-3 item 1). The state carries no ema_params; one
+    # packed host round-trip per optimizer update (~1s for XL) is timed
+    # inside the recipe cycle.
+    offload = accum_pref == "offload"
+    in_state_ema = ema is not None and not offload
+    state = create_train_state(params, tx, use_ema=in_state_ema,
                                ema_dtype=jnp.bfloat16)
     del params
 
@@ -271,12 +295,12 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         # the old state's buffers deleted - reusing it would make every
         # subsequent attempt fail with 'Array has been deleted'.
         p = fast_params(model, rng)
-        return create_train_state(p, tx, use_ema=ema is not None,
+        return create_train_state(p, tx, use_ema=in_state_ema,
                                   ema_dtype=jnp.bfloat16)
 
     k_recipe = max(1, PER_RANK_BATCH // mb)
     step_kwargs = {"param_flow_dtype": param_flow_dtype}
-    if ema is not None:
+    if in_state_ema:
         step_kwargs.update(
             ema_smoothing=ema, ema_start=0, ema_update_interval=1)
 
@@ -338,6 +362,21 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
+    if offload and ema is not None:
+        t0 = time.time()
+        hema = HostEMA(state.params, ema)
+        hema.block()
+        log(f"[{name}] HostEMA: {len(hema.chunks)} packed host chunks "
+            f"({time.time() - t0:.0f}s)")
+        recipe_img_s, loss_d, state = _time_dispatch_recipe(
+            model, tx, sched, state, mb, k_recipe, latent_res,
+            step_kwargs, rng, name, host_ema=hema,
+        )
+        log(f"[{name}] remat={policy} mb{mb} dispatch K={k_recipe} "
+            f"+ host-offload EMA: {recipe_img_s:.1f} img/s recipe "
+            f"(bare {bare_img_s:.1f}, loss {loss_d:.4f})")
+        return (recipe_img_s, bare_img_s, mb,
+                f"dispatch_k{k_recipe}_bf16_hostema")
     if k1_fallback_tag:
         # In-step EMA applied every step (not the recipe's per-update cadence):
         # the bare number IS the recipe number, conservatively.
@@ -437,10 +476,13 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
 
 def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
-                          step_kwargs, rng, name):
+                          step_kwargs, rng, name, host_ema=None):
     """Time the recipe step in split-dispatch mode: K grad dispatches into a
-    donated bf16 accumulator + one optimizer/EMA apply. Returns
-    (recipe_img_s, loss, state); raises on compile/OOM failure."""
+    donated bf16 accumulator + one optimizer/EMA apply. With ``host_ema`` (a
+    HostEMA), the recipe's per-update EMA runs as a packed pinned-host
+    round-trip after the apply - its transfer time is inside the timed window
+    (final block() barrier). Returns (recipe_img_s, loss, state); raises on
+    compile/OOM failure."""
     step_kwargs = dict(step_kwargs)
     flow_dtype = step_kwargs.pop("param_flow_dtype", None)
     grad_fn = jax.jit(make_grad_step(model, param_flow_dtype=flow_dtype),
@@ -464,20 +506,31 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
         r = jax.random.fold_in(rng, i)
         for idx in range(k_recipe):
             acc = grad_fn(state.params, acc, mbatch, r, idx)
-        return apply_fn(state, acc, k_recipe)
+        state, m = apply_fn(state, acc, k_recipe)
+        if host_ema is not None:
+            # recipe cadence: one EMA update per optimizer update, against
+            # the POST-update params (reference update_interval 1ba)
+            host_ema.update(state.params)
+        return state, m
 
     t0 = time.time()
     state, m = cycle(state, 0)
     float(m["loss"])  # value fetch = the only reliable barrier (relay)
+    if host_ema is not None:
+        host_ema.block()
     log(f"[{name}] dispatch K={k_recipe} compile+first cycle: "
         f"{time.time() - t0:.0f}s")
     state, m = cycle(state, 1)
     float(m["loss"])  # warmup
+    if host_ema is not None:
+        host_ema.block()
     cycles = 2 if k_recipe >= 8 else 4
     t0 = time.time()
     for i in range(cycles):
         state, m = cycle(state, 2 + i)
     loss = float(m["loss"])
+    if host_ema is not None:
+        host_ema.block()  # include the in-flight EMA transfers in the window
     t_full = (time.time() - t0) / cycles
     return k_recipe * mb / t_full, loss, state
 
@@ -513,6 +566,89 @@ def bench_stage(name, latent_res, mask_ratio, config_ladder, timed_steps,
         # the next rung allocates: drop the exception frame refs and collect.
         gc.collect()
     raise RuntimeError(f"{name}: all configs failed")
+
+
+# Sampling legs (VERDICT round-3 item 5): the 30-step CFG-5 generate() path -
+# what the 30k-image FID run and the reference demo exercise
+# (/root/reference/micro_diffusion/models/model.py:299-353; 30 Heun steps =
+# 59 CFG-doubled DiT forwards per image + one VAE decode). Batch ladders are
+# the tuning pass: larger batches amortize the per-step host dispatch and fill
+# the MXU; the first batch that fits wins.
+SAMPLING_CONFIGS = [
+    ("sample_256px", 32, 256, (32, 16, 8)),
+    ("sample_512px", 64, 512, (16, 8, 4)),
+]
+
+
+def _run_sampling(name, latent_res, px, bs, timed_runs):
+    from micro_diffusion_tpu.models.vae import AutoencoderKL
+
+    dit = MicroDiT_XL_2(input_size=latent_res)  # inference: no remat
+    model = LatentDiffusion(
+        dit=dit, latent_res=latent_res, train_mask_ratio=0.0,
+        latent_scale=0.13025,
+    )
+    params = fast_params(model, jax.random.PRNGKey(0))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (bs, 1, 77, 1024))
+
+    def sample():
+        return model.generate(
+            params, text_embeddings=emb, guidance_scale=5.0,
+            num_inference_steps=30, seed=7, return_only_latents=True,
+        )
+
+    t0 = time.time()
+    lat = sample()
+    float(lat.reshape(-1)[0])  # value fetch = the only reliable barrier
+    log(f"[{name}] bs{bs} sampler compile+first: {time.time() - t0:.0f}s")
+    t0 = time.time()
+    for _ in range(timed_runs):
+        lat = sample()
+    float(lat.reshape(-1)[0])
+    dt_sample = (time.time() - t0) / timed_runs
+
+    # VAE decode (SDXL-VAE architecture, synthetic weights - parameter VALUES
+    # don't affect conv throughput)
+    vae = AutoencoderKL()
+    t0 = time.time()
+    vae.init(jax.random.PRNGKey(1), image_size=px)
+    img = vae.decode(lat / model.latent_scale)
+    float(img.reshape(-1)[0])
+    log(f"[{name}] VAE init+decode compile: {time.time() - t0:.0f}s")
+    t0 = time.time()
+    for _ in range(timed_runs):
+        img = vae.decode(lat / model.latent_scale)
+    float(img.reshape(-1)[0])
+    dt_vae = (time.time() - t0) / timed_runs
+
+    img_s = bs / (dt_sample + dt_vae)
+    rec = {
+        "img_per_sec_per_chip": round(img_s, 3),
+        "batch": bs,
+        "steps": 30,
+        "guidance_scale": 5.0,
+        "sampler_ms_per_image": round(dt_sample / bs * 1e3, 1),
+        "vae_decode_ms_per_image": round(dt_vae / bs * 1e3, 1),
+        "fid30k_wallclock_hours": round(30_000 / img_s / 3600, 2),
+    }
+    log(f"[{name}] bs{bs}: sampler {dt_sample * 1e3:.0f} ms + vae "
+        f"{dt_vae * 1e3:.0f} ms = {img_s:.2f} img/s "
+        f"(30k-image FID: {rec['fid30k_wallclock_hours']:.1f} h)")
+    return rec
+
+
+def bench_sampling(timed_runs=3):
+    results = {}
+    for name, latent_res, px, ladder in SAMPLING_CONFIGS:
+        for bs in ladder:
+            try:
+                results[name] = _run_sampling(name, latent_res, px, bs,
+                                              timed_runs)
+                break
+            except Exception as e:  # noqa: BLE001 - OOM/compile at value fetch
+                log(f"[{name}] bs{bs} failed: {str(e)[:120]}")
+                gc.collect()
+    return results
 
 
 def main():
@@ -592,6 +728,16 @@ def main():
         "baseline_img_per_sec_per_chip": BASELINE_IMG_PER_SEC_PER_CHIP,
         "device": str(jax.devices()[0]),
     }
+    # Sampling legs (generate() throughput; VERDICT round-3 item 5). Off in
+    # quick mode and via MDT_BENCH_SAMPLING=0; failures never sink the
+    # training metric.
+    if not quick and os.environ.get("MDT_BENCH_SAMPLING", "1") != "0":
+        try:
+            sampling = bench_sampling(timed_runs=3)
+            if sampling:
+                out["detail"]["sampling"] = sampling
+        except Exception as e:  # noqa: BLE001
+            log(f"[sampling] legs failed: {str(e)[:160]}")
     print(json.dumps(out))
 
 

@@ -98,7 +98,13 @@ def main(trace_dir: str, hlo_path: str, n_steps: int = 3):
 
     dev = next(p for p in planes if "TPU" in p["name"] or "device" in p["name"])
     totals, examples, unmatched_ms = {}, {}, 0.0
+    # Core-serial view by default: the 'XLA Ops' line is the TensorCore's own
+    # execution timeline (sums to wall-clock step time); 'Async XLA Ops' is
+    # DMA-in-flight occupancy, which overlaps compute and would double-count.
+    line_filter = os.environ.get("MDT_TRACE_LINES", "XLA Ops").split(",")
     for line_name, events in dev["lines"]:
+        if line_filter != ["all"] and line_name not in line_filter:
+            continue
         for mid, dur in events:
             nm = dev["event_meta"].get(mid, "")
             if not nm.startswith("%"):

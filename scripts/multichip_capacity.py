@@ -1,5 +1,5 @@
-"""XL-scale multi-chip capacity proof: AOT-lower the FULL MicroDiT-XL train
-step under ZeRO-2 shardings on an 8-device mesh and record XLA's per-device
+"""XL-scale multi-chip capacity proof: AOT-compile the MicroDiT-XL training
+graphs under ZeRO-2 shardings on an 8-device mesh and record XLA's per-device
 memory estimates (VERDICT round-3 item 4).
 
 Backs the claim "multi-chip ZeRO-2 lifts the single-chip stage-3/4 HBM cap"
@@ -9,19 +9,29 @@ optimizer state sharded, params replicated) at the reference 512px
 microbatches, with NO single-chip compromises:
 
   * fp32 Adam moments (single chip needs bf16)
-  * fp32 EMA, sharded like optimizer state (single chip: bf16, and the
-    resident buffer blocks the grad accumulator - PERF.md round 3)
+  * fp32 EMA, sharded like optimizer state (single chip: bf16 packed in
+    pinned host RAM - HostEMA)
   * fp32 microbatch grad accumulation, reduce-scattered into the ZeRO shard
-    layout via make_train_step(grad_shardings=...) (single chip: bf16, and
-    infeasible at all next to the EMA buffer)
-  * full 2048-image global batch scanned in ONE jit step
+    layout per microbatch (single chip: bf16, infeasible next to the EMA)
+  * full 2048-image global batch per optimizer update
+
+The compiled graphs are the SPLIT-DISPATCH pair the framework actually runs
+(bench.py/_time_dispatch_recipe, trainer dispatch mode): K per-microbatch
+grad graphs into a donated accumulator + one optimizer/EMA apply graph. The
+whole-2048-batch scanned step is the same math in one graph but its XL CPU
+compile exceeds an hour; the dispatch pair compiles in minutes and is the
+production execution strategy. Peak per-device memory accounting:
+
+  grad phase : grad graph (args: params, acc, microbatch shard, rng;
+               temps: activations) + the RESIDENT state it does not
+               reference (sharded moments + EMA)
+  apply phase: apply graph (args: full TrainState + acc; temps: update math)
 
 Runs on the CPU backend with 8 fake devices - XLA buffer assignment is
-topology-independent for the per-device memory estimate (SPMD: the compiled
-executable is per-device). Pallas kernels lower in interpret mode off-TPU
-(their VMEM scratch shows up as regular temps - a conservative overcount);
-attention takes the XLA path off-TPU, whose softmax saves are BIGGER than the
-lane-flash kernel's (flash saves only (T,HD) outputs) - also conservative.
+topology-independent for the per-device estimate (SPMD: the compiled
+executable is per-device). Pallas kernels lower in interpret mode off-TPU;
+attention takes the XLA path off-TPU, whose softmax saves are BIGGER than
+the lane-flash kernel's - conservative.
 
 Usage: python scripts/multichip_capacity.py [--json OUT.json]
 """
@@ -31,6 +41,8 @@ import json
 import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
@@ -56,7 +68,8 @@ from micro_diffusion_tpu.train import (  # noqa: E402
     TrainState,
     build_optimizer,
     create_train_state,
-    make_train_step,
+    make_apply_step,
+    make_grad_step,
 )
 from micro_diffusion_tpu.train.optim import constant_with_warmup  # noqa: E402
 
@@ -79,6 +92,23 @@ N_DEV = 8
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _graph_bytes(compiled):
+    ma = compiled.memory_analysis()
+    return (ma.argument_size_in_bytes + ma.output_size_in_bytes
+            - ma.alias_size_in_bytes + ma.temp_size_in_bytes), ma
+
+
+def _tree_device_bytes(shapes, shardings):
+    """Per-device bytes of a pytree under its shardings."""
+    total = 0
+    for l, s in zip(jax.tree.leaves(shapes), jax.tree.leaves(shardings)):
+        m = l.dtype.itemsize
+        for d in s.shard_shape(l.shape):
+            m *= d
+        total += m
+    return total
 
 
 def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
@@ -122,68 +152,94 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
         ema_params=e_sh,
     )
     b_sh = NamedSharding(mesh, P(("data", "fsdp")))
+    mb_global = mb_per_dev * N_DEV
     batch_shapes = {
         "image_latents": jax.ShapeDtypeStruct(
-            (GLOBAL_BATCH, 4, 64, 64), jnp.float32),
+            (mb_global, 4, 64, 64), jnp.float32),
         "caption_latents": jax.ShapeDtypeStruct(
-            (GLOBAL_BATCH, 1, 77, 1024), jnp.float32),
+            (mb_global, 1, 77, 1024), jnp.float32),
         "drop_caption_mask": jax.ShapeDtypeStruct(
-            (GLOBAL_BATCH,), jnp.float32),
+            (mb_global,), jnp.float32),
     }
     batch_sh = jax.tree.map(lambda _: b_sh, batch_shapes)
     rng_shape = jax.eval_shape(jax.random.PRNGKey, 0)
 
-    # ZeRO-2 grads: reduce-scatter each microbatch's grads into the opt-state
-    # shard layout (grad_shardings) instead of all-reducing replicated copies.
-    grad_sh = jax.tree.map(
+    # ZeRO-2: the fp32 accumulator lives in the opt-state shard layout; each
+    # microbatch's grads reduce-scatter into it (out_shardings constraint).
+    acc_sh_tree = jax.tree.map(
         lambda l: NamedSharding(mesh, opt_state_spec(l, mesh)), params_shapes
     )
-    step = jax.jit(
-        make_train_step(
-            model, tx, sched, microbatch_size=mb_per_dev * N_DEV,
-            ema_smoothing=0.99975, ema_start=0,
-            accum_dtype=jnp.float32, grad_shardings=grad_sh,
+    acc_shapes = (
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, jnp.float32),
+            params_shapes,
         ),
-        in_shardings=(state_sh, batch_sh, None),
-        out_shardings=(state_sh, None),
-        donate_argnums=(0,),
     )
-    k = GLOBAL_BATCH // (mb_per_dev * N_DEV)
-    log(f"[{name}] lowering XL ({n_params/1e9:.3f}B params) train step: "
-        f"mesh (1,{N_DEV},1), per-device mb{mb_per_dev}, K={k} scan, "
-        f"fp32 moments+EMA+accum, ZeRO-2 grad reduce-scatter ...")
+    acc_sh = (NamedSharding(mesh, P()), acc_sh_tree)
+
+    k = GLOBAL_BATCH // mb_global
+    log(f"[{name}] XL ({n_params/1e9:.3f}B params), mesh (1,{N_DEV},1), "
+        f"per-device mb{mb_per_dev}, K={k} dispatch, fp32 moments+EMA+accum, "
+        f"ZeRO-2 reduce-scatter")
+
+    grad_fn = jax.jit(
+        make_grad_step(model),
+        in_shardings=(p_sh, acc_sh, batch_sh, None, None),
+        out_shardings=acc_sh,
+        donate_argnums=(1,),
+    )
     t0 = time.time()
-    lowered = step.lower(state_shapes, batch_shapes, rng_shape)
-    t_lower = time.time() - t0
-    log(f"[{name}] lowered in {t_lower:.0f}s; compiling ...")
+    grad_compiled = grad_fn.lower(
+        params_shapes, acc_shapes, batch_shapes, rng_shape,
+        jax.ShapeDtypeStruct((), jnp.int32),
+    ).compile()
+    t_grad = time.time() - t0
+    grad_peak, grad_ma = _graph_bytes(grad_compiled)
+    log(f"[{name}] grad graph compiled in {t_grad:.0f}s: "
+        f"args {grad_ma.argument_size_in_bytes/GIB:.2f} + temps "
+        f"{grad_ma.temp_size_in_bytes/GIB:.2f} GiB")
+
+    apply_fn = jax.jit(
+        make_apply_step(tx, sched, ema_smoothing=0.99975, ema_start=0,
+                        ema_update_interval=1),
+        in_shardings=(state_sh, acc_sh),
+        out_shardings=(state_sh, None),
+        static_argnums=(2,),
+        donate_argnums=(0, 1),
+    )
     t0 = time.time()
-    compiled = lowered.compile()
-    t_compile = time.time() - t0
-    ma = compiled.memory_analysis()
-    # Per-device peak: live arguments + non-aliased outputs + XLA temp arena.
-    # Donated state aliases the output state (alias_size), so it counts once.
-    peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
-            - ma.alias_size_in_bytes + ma.temp_size_in_bytes)
+    apply_compiled = apply_fn.lower(state_shapes, acc_shapes, k).compile()
+    t_apply = time.time() - t0
+    apply_peak, apply_ma = _graph_bytes(apply_compiled)
+    log(f"[{name}] apply graph compiled in {t_apply:.0f}s: "
+        f"args {apply_ma.argument_size_in_bytes/GIB:.2f} + temps "
+        f"{apply_ma.temp_size_in_bytes/GIB:.2f} GiB")
+
+    # Resident-but-unreferenced during the grad phase: sharded moments + EMA.
+    resident_grad = (_tree_device_bytes(state_shapes.opt_state, o_sh)
+                     + _tree_device_bytes(state_shapes.ema_params, e_sh))
+    peak = max(grad_peak + resident_grad, apply_peak)
     rec = {
         "scenario": name,
         "mesh": f"(data=1, fsdp={N_DEV}, tensor=1)",
         "per_device_microbatch": mb_per_dev,
-        "scan_microbatches": k,
+        "dispatch_microbatches": k,
         "global_batch": GLOBAL_BATCH,
         "params_B": round(n_params / 1e9, 4),
-        "argument_gib": round(ma.argument_size_in_bytes / GIB, 3),
-        "output_gib": round(ma.output_size_in_bytes / GIB, 3),
-        "alias_gib": round(ma.alias_size_in_bytes / GIB, 3),
-        "temp_gib": round(ma.temp_size_in_bytes / GIB, 3),
+        "grad_graph_gib": round(grad_peak / GIB, 3),
+        "resident_opt_ema_gib": round(resident_grad / GIB, 3),
+        "apply_graph_gib": round(apply_peak / GIB, 3),
         "peak_per_device_gib": round(peak / GIB, 3),
         "hbm_limit_gib": HBM_LIMIT_GIB,
         "fits": bool(peak / GIB < HBM_LIMIT_GIB),
-        "compile_s": round(t_compile, 1),
+        "grad_compile_s": round(t_grad, 1),
+        "apply_compile_s": round(t_apply, 1),
     }
-    log(f"[{name}] args {rec['argument_gib']} GiB + temps {rec['temp_gib']} "
-        f"GiB -> peak {rec['peak_per_device_gib']} GiB/device "
-        f"(limit {HBM_LIMIT_GIB}) fits={rec['fits']} "
-        f"[compile {t_compile:.0f}s]")
+    log(f"[{name}] grad {rec['grad_graph_gib']} + resident "
+        f"{rec['resident_opt_ema_gib']} | apply {rec['apply_graph_gib']} "
+        f"-> peak {rec['peak_per_device_gib']} GiB/device "
+        f"(limit {HBM_LIMIT_GIB}) fits={rec['fits']}")
     return rec
 
 

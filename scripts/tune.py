@@ -331,8 +331,26 @@ def run(args):
         mu_dtype=jnp.bfloat16 if args.nu == "fp32" else None,
         low_precision_moments=(args.nu == "bf16"),
     )
-    state = create_train_state(params, tx, use_ema=args.ema,
+    # --ema-mode offload: the EMA tree lives in pinned HOST memory (bf16), not
+    # HBM - the stage-4 unlock probe (VERDICT round-3 item 1). The train state
+    # carries NO ema_params; one make_host_offload_ema_step dispatch per
+    # recipe update (or per --ema-interval steps on K=1 legs) reads params
+    # from HBM and round-trips the EMA through the host link (~1.0s for XL,
+    # scripts/probe_hostmem.py).
+    offload_ema = args.ema and args.ema_mode == "offload"
+    state = create_train_state(params, tx, use_ema=args.ema and not offload_ema,
                                ema_dtype=jnp.bfloat16 if args.ema else None)
+    host_ema_obj = None
+    if offload_ema:
+        from micro_diffusion_tpu.train import HostEMA
+
+        ema_cfg = bench.STAGE_EMA.get(args.stage)
+        smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
+        t0 = time.time()
+        host_ema_obj = HostEMA(state.params, smoothing)
+        host_ema_obj.block()
+        log(f"HostEMA created: {len(host_ema_obj.chunks)} host chunks "
+            f"({time.time() - t0:.0f}s)")
     del params
     flow_dtype = jnp.bfloat16 if args.flow == "bf16" else None
 
@@ -354,7 +372,7 @@ def run(args):
         # split-dispatch accumulation: k small grad graphs + one apply graph
         # (the scanned whole-step graph crashes the remote compile helper)
         apply_kwargs = {}
-        if args.ema:
+        if args.ema and not offload_ema:
             ema_cfg = bench.STAGE_EMA.get(args.stage)
             apply_kwargs = dict(
                 ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
@@ -382,19 +400,33 @@ def run(args):
             pystep[0] += 1
             for idx in range(args.accum):
                 acc = grad_fn(state.params, acc, mbatch, r, idx)
-            return apply_fn(state, acc, args.accum)
+            state, metrics = apply_fn(state, acc, args.accum)
+            if offload_ema:
+                # recipe cadence: one EMA update per optimizer update,
+                # against the POST-update params (reference EMA semantics)
+                host_ema_obj.update(state.params)
+            return state, metrics
 
         t0 = time.time()
         state, metrics = step_cycle(state)
         loss0 = float(metrics["loss"])
+        if offload_ema:
+            host_ema_obj.block()
         compile_s = time.time() - t0
         log(f"compile+first cycle: {compile_s:.0f}s (loss {loss0:.4f})")
         state, metrics = step_cycle(state)
         float(metrics["loss"])
+        if offload_ema:
+            host_ema_obj.block()
         t0 = time.time()
         for _ in range(args.steps):
             state, metrics = step_cycle(state)
         final_loss = float(metrics["loss"])
+        if offload_ema:
+            # the EMA offload chain is sequenced by donation; barrier on it so
+            # the timed window includes the host round-trips
+            host_ema_obj.block()
+            cfg["ema_mode"] = "offload"
         dt = (time.time() - t0) / args.steps
     else:
         step_kwargs = {}
@@ -411,7 +443,8 @@ def run(args):
             # make_ema_step every k-th step from python (bench K=1 fallback).
             ema_cfg = bench.STAGE_EMA.get(args.stage)
             ema_smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
-            if not (args.ema_interval > 1 and args.ema_mode == "host"):
+            if (not (args.ema_interval > 1 and args.ema_mode == "host")
+                    and not offload_ema):
                 step_kwargs = dict(
                     ema_smoothing=ema_smoothing,
                     ema_start=0, ema_update_interval=args.ema_interval,
@@ -439,7 +472,21 @@ def run(args):
             state, metrics = step_fn(state, batch, rng)
         final_loss = float(metrics["loss"])
         dt = (time.time() - t0) / args.steps
-        if args.ema and args.ema_interval > 1 and args.ema_mode == "host":
+        if offload_ema:
+            # cadence-faithful rate: one offloaded EMA update per
+            # --ema-interval steps (256/mb for a K=1 leg)
+            host_ema_obj.update(state.params)
+            host_ema_obj.block()
+            t0 = time.time()
+            for _ in range(4):
+                host_ema_obj.update(state.params)
+            host_ema_obj.block()
+            dt_ema = (time.time() - t0) / 4
+            log(f"offloaded ema update: {dt_ema * 1e3:.1f} ms per update "
+                f"(every {args.ema_interval} steps)")
+            cfg["ema_mode"] = "offload"
+            dt = dt + dt_ema / max(1, args.ema_interval)
+        elif args.ema and args.ema_interval > 1 and args.ema_mode == "host":
             from micro_diffusion_tpu.train import make_ema_step
             ema_fn = jax.jit(make_ema_step(ema_smoothing), donate_argnums=(0,))
             state = ema_fn(state)
@@ -490,7 +537,7 @@ def main():
     p.add_argument("--ema-interval", type=int, default=1, dest="ema_interval",
                    help="EMA update every k steps (recipe-faithful cadence "
                    "for K=1 fallback legs is 256/mb)")
-    p.add_argument("--ema-mode", default="host", choices=["step", "host"],
+    p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload"],
                    dest="ema_mode",
                    help="interval>1 skip mechanism: 'step' = lax.cond inside "
                    "the step graph (+~49MB cond buffers), 'host' = separate "
