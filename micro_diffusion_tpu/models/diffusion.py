@@ -475,7 +475,14 @@ def create_latent_diffusion(
     if load_encoders:
         from .vae import AutoencoderKL
 
-        vae = AutoencoderKL.from_pretrained(vae_name, weights_dir=weights_dir)
+        # VAE compute follows the factory dtype like the reference's
+        # torch_dtype (model.py:379-382, bfloat16 default); params/statistics
+        # /outputs stay fp32 (vae.py)
+        vae = AutoencoderKL.from_pretrained(
+            vae_name, weights_dir=weights_dir,
+            compute_dtype={"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                           "float16": jnp.bfloat16}[dtype],
+        )
         from .text_encoders import UniversalTextEncoder, UniversalTokenizer
 
         text_encoder = UniversalTextEncoder(

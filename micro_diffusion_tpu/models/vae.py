@@ -22,30 +22,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _conv(features, kernel=3, stride=1, name=None, padding=None):
+def _conv(features, kernel=3, stride=1, name=None, padding=None,
+          dtype=jnp.float32):
     if padding is None:
         padding = [(kernel // 2, kernel // 2)] * 2
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride), padding=padding,
-        dtype=jnp.float32, param_dtype=jnp.float32, name=name,
+        dtype=dtype, param_dtype=jnp.float32, name=name,
     )
 
 
 class ResnetBlock(nn.Module):
+    # compute dtype for convs; GroupNorm statistics stay float32 (flax
+    # normalization promotes to fp32 internally). bf16 is reference parity:
+    # the reference loads the whole VAE with torch_dtype=bfloat16 and encodes
+    # /decodes in it (model.py:112-113,349-350,379-382).
     out_channels: int
     groups: int = 32
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
+                         name="norm1")(x)
         h = nn.silu(h)
-        h = _conv(self.out_channels, name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, name="norm2")(h)
+        h = _conv(self.out_channels, name="conv1", dtype=self.dtype)(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
+                         name="norm2")(h)
         h = nn.silu(h)
-        h = _conv(self.out_channels, name="conv2")(h)
+        h = _conv(self.out_channels, name="conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
-            x = _conv(self.out_channels, kernel=1, name="conv_shortcut")(x)
+            x = _conv(self.out_channels, kernel=1, name="conv_shortcut",
+                      dtype=self.dtype)(x)
         return x + h
 
 
@@ -55,19 +64,23 @@ class AttnBlock(nn.Module):
     channels: int
     groups: int = 32
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        y = nn.GroupNorm(self.groups, epsilon=self.eps, name="group_norm")(x)
+        y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
+                         name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        dense = lambda name: nn.Dense(c, dtype=jnp.float32, param_dtype=jnp.float32,
-                                      name=name)
+        dense = lambda name: nn.Dense(c, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
         q, k, v = dense("to_q")(y), dense("to_k")(y), dense("to_v")(y)
         logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
-        attn = jax.nn.softmax(logits, axis=-1)
-        y = jnp.einsum("bqk,bkc->bqc", attn, v)
+        # softmax in fp32 regardless of compute dtype (4096-token rows at
+        # 512px decode; bf16 exp/sum loses visible precision)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", attn.astype(y.dtype), v)
         y = dense("to_out_0")(y)
         return res + y.reshape(b, h, w, c)
 
@@ -76,49 +89,60 @@ class Encoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = _conv(self.block_out_channels[0], name="conv_in")(x)
+        h = _conv(self.block_out_channels[0], name="conv_in",
+                  dtype=self.dtype)(x)
         for i, ch in enumerate(self.block_out_channels):
             for j in range(self.layers_per_block):
-                h = ResnetBlock(ch, name=f"down_{i}_resnet_{j}")(h)
+                h = ResnetBlock(ch, name=f"down_{i}_resnet_{j}",
+                                dtype=self.dtype)(h)
             if i < len(self.block_out_channels) - 1:
                 # stride-2 conv with asymmetric (0,1) padding (diffusers Downsample2D)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = _conv(ch, stride=2, padding=[(0, 0), (0, 0)],
-                          name=f"down_{i}_downsample")(h)
+                          name=f"down_{i}_downsample", dtype=self.dtype)(h)
         ch = self.block_out_channels[-1]
-        h = ResnetBlock(ch, name="mid_resnet_0")(h)
-        h = AttnBlock(ch, name="mid_attn")(h)
-        h = ResnetBlock(ch, name="mid_resnet_1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, name="conv_norm_out")(h)
+        h = ResnetBlock(ch, name="mid_resnet_0", dtype=self.dtype)(h)
+        h = AttnBlock(ch, name="mid_attn", dtype=self.dtype)(h)
+        h = ResnetBlock(ch, name="mid_resnet_1", dtype=self.dtype)(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+                         name="conv_norm_out")(h)
         h = nn.silu(h)
-        return _conv(2 * self.latent_channels, name="conv_out")(h)
+        # moments in fp32: the latent distribution feeds training targets
+        return _conv(2 * self.latent_channels, name="conv_out")(
+            h.astype(jnp.float32))
 
 
 class Decoder(nn.Module):
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     out_channels: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         chans = list(reversed(self.block_out_channels))  # [512, 512, 256, 128]
-        h = _conv(chans[0], name="conv_in")(z)
-        h = ResnetBlock(chans[0], name="mid_resnet_0")(h)
-        h = AttnBlock(chans[0], name="mid_attn")(h)
-        h = ResnetBlock(chans[0], name="mid_resnet_1")(h)
+        h = _conv(chans[0], name="conv_in", dtype=self.dtype)(z)
+        h = ResnetBlock(chans[0], name="mid_resnet_0", dtype=self.dtype)(h)
+        h = AttnBlock(chans[0], name="mid_attn", dtype=self.dtype)(h)
+        h = ResnetBlock(chans[0], name="mid_resnet_1", dtype=self.dtype)(h)
         for i, ch in enumerate(chans):
             for j in range(self.layers_per_block + 1):
-                h = ResnetBlock(ch, name=f"up_{i}_resnet_{j}")(h)
+                h = ResnetBlock(ch, name=f"up_{i}_resnet_{j}",
+                                dtype=self.dtype)(h)
             if i < len(chans) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = _conv(ch, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, name="conv_norm_out")(h)
+                h = _conv(ch, name=f"up_{i}_upsample", dtype=self.dtype)(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+                         name="conv_norm_out")(h)
         h = nn.silu(h)
-        return _conv(self.out_channels, name="conv_out")(h)
+        # final image in fp32 (pixel values for FID/saving)
+        return _conv(self.out_channels, name="conv_out")(
+            h.astype(jnp.float32))
 
 
 class AutoencoderKLModule(nn.Module):
@@ -126,13 +150,16 @@ class AutoencoderKLModule(nn.Module):
     layers_per_block: int = 2
     latent_channels: int = 4
     out_channels: int = 3
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = Encoder(
-            self.block_out_channels, self.layers_per_block, self.latent_channels
+            self.block_out_channels, self.layers_per_block,
+            self.latent_channels, dtype=self.dtype,
         )
         self.decoder = Decoder(
-            self.block_out_channels, self.layers_per_block, self.out_channels
+            self.block_out_channels, self.layers_per_block, self.out_channels,
+            dtype=self.dtype,
         )
         self.quant_conv = _conv(2 * self.latent_channels, kernel=1, name="quant_conv")
         self.post_quant_conv = _conv(
@@ -170,9 +197,15 @@ class AutoencoderKL:
         layers_per_block: int = 2,
         latent_channels: int = 4,
         scaling_factor: float = 0.13025,
+        compute_dtype: Any = jnp.float32,
     ):
+        # compute_dtype=bf16 is reference parity (the reference loads the VAE
+        # with torch_dtype=bfloat16, model.py:379-382); params stay fp32, all
+        # normalization statistics fp32, encoder moments / decoded pixels
+        # emitted fp32. Default fp32 = the oracle-validated numerics.
         self.module = AutoencoderKLModule(
-            tuple(block_out_channels), layers_per_block, latent_channels
+            tuple(block_out_channels), layers_per_block, latent_channels,
+            dtype=jnp.dtype(compute_dtype),
         )
         self.latent_channels = latent_channels
         self.scaling_factor = scaling_factor
@@ -216,7 +249,8 @@ class AutoencoderKL:
 
     @classmethod
     def from_pretrained(
-        cls, name: str, weights_dir: Optional[str] = None, subfolder: str = "vae"
+        cls, name: str, weights_dir: Optional[str] = None,
+        subfolder: str = "vae", compute_dtype: Any = jnp.float32,
     ) -> "AutoencoderKL":
         """Load from a local HF snapshot directory (config.json + weights).
 
@@ -243,6 +277,7 @@ class AutoencoderKL:
             layers_per_block=cfg.get("layers_per_block", 2),
             latent_channels=cfg.get("latent_channels", 4),
             scaling_factor=cfg.get("scaling_factor", 0.13025),
+            compute_dtype=compute_dtype,
         )
         vae.params = vae_torch_to_params(
             sd,

@@ -56,6 +56,30 @@ def test_16_channel_variant():
     assert z.shape == (1, 16, 4, 4)
 
 
+def test_bf16_compute_mode():
+    """compute_dtype=bf16 (reference parity: torch_dtype=bfloat16,
+    reference model.py:379-382) shares the fp32 param structure and stays
+    numerically close to the fp32 oracle-validated path; outputs are fp32."""
+    vae32 = tiny_vae()
+    params = vae32.init(jax.random.PRNGKey(0), image_size=32)
+    vae16 = AutoencoderKL(
+        block_out_channels=(32, 32, 64, 64), layers_per_block=1,
+        latent_channels=4, scaling_factor=0.5,
+        compute_dtype=jnp.bfloat16,
+    )
+    vae16.params = params  # same fp32 params, different compute dtype
+    lat = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 4))
+    img32 = np.asarray(vae32.decode(lat))
+    img16 = np.asarray(vae16.decode(lat))
+    assert img16.dtype == np.float32  # pixels emitted fp32
+    assert img32.shape == img16.shape
+    scale = np.abs(img32).mean() + 1e-6
+    assert np.abs(img32 - img16).mean() / scale < 0.05
+    m32 = np.asarray(vae32.encode_mode(jnp.zeros((1, 3, 32, 32))))
+    m16 = np.asarray(vae16.encode_mode(jnp.zeros((1, 3, 32, 32))))
+    assert np.abs(m32 - m16).mean() / (np.abs(m32).mean() + 1e-6) < 0.05
+
+
 def _synthetic_diffusers_state_dict(block_out=(32, 32, 64, 64), layers=1, latent=4):
     """Build a random state dict with exact diffusers AutoencoderKL key names/shapes."""
     rng = np.random.default_rng(0)
