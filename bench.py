@@ -139,15 +139,17 @@ STAGES = [
      # Round-4 lead rungs: "offload" = EMA bit-packed in pinned HOST RAM
      # (HostEMA) -> zero HBM residency -> the bf16 dispatch accumulator fits
      # and the leg runs TRUE recipe optimizer cadence (K=256/mb) with one
-     # packed host round-trip per update (VERDICT round-3 item 1). The K=1
-     # host-EMA rungs remain as fallbacks (accum_pref "none": in-HBM EMA
-     # blocks the accumulator - measured RESOURCE_EXHAUSTED).
-     # flow16 on the offload rung only: in dispatch mode the bf16 param cast
-     # is a per-grad-graph transient (not resident all step), killing the
-     # per-remat-region fp32->bf16 convert chain (VERDICT round-3 item 3a).
-     (("attn_moe", 32, "onehot", "offload", "flow16"),
-      ("attn_moe", 32, "onehot", "offload"),
-      ("dots_attn_moe", 16, "onehot", "offload"),
+     # packed host round-trip per update (VERDICT round-3 item 1). The
+     # mb16 rung keeps EMA in the apply graph (in-state), where accumulator
+     # + EMA coexist at mb16 (measured 69.4 img/s TRUE recipe, sweep_r4
+     # probe 3). The K=1 host-EMA rungs remain as fallbacks (accum_pref
+     # "none": in-HBM EMA blocks the accumulator at mb32 - measured
+     # RESOURCE_EXHAUSTED).
+     # flow16 rungs retired round-4: the per-grad-graph bf16 param transient
+     # runtime-OOMs in dispatch mode at EVERY stage, even mask75-256px mb128
+     # K=2 with no EMA resident (sweep_r4 probes 4-6, RESOURCE_EXHAUSTED).
+     (("attn_moe", 32, "onehot", "offload"),
+      ("attn_moe", 16, "onehot"),
       ("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
@@ -168,12 +170,15 @@ STAGES = [
      # projection held. mb8 was the stage-4 single-chip ceiling WITH the EMA
      # buffer resident; the round-4 "offload" rungs (EMA packed in pinned
      # host RAM, TRUE recipe accumulation - see res512_mask75 note) retry
-     # mb16 and the lighter dots_attn_moe remat with the freed 2.33GB.
-     (("dots_attn_moe", 16, "onehot", "offload", "flow16"),
-      ("dots_attn_moe", 16, "onehot", "offload"),
-      ("attn_moe", 16, "onehot", "offload"),
-      ("dots_attn_moe", 8, "onehot", "offload"),
-      ("attn_moe", 8, "onehot", "offload"),
+     # mb16 with the freed 2.33GB. Measured 2026-08-19 (sweep_r4): the
+     # dots_attn_moe mb16 offload grads compile-OOM (80MB bf16 FFN-hidden
+     # temps per block survive the policy at mb16) and flow16 runtime-OOMs
+     # everywhere - both retired from the ladder.
+     # (dots_attn_moe runtime-OOMs even at mb8 offload K=32, and mb16 offload
+     # measured 18.3 img/s - the near-limit 14.95G/15.75G graph compiles to a
+     # memory-pressure schedule slower per image than mb8 - both retired)
+     (("attn_moe", 8, "onehot", "offload"),
+      ("attn_moe", 8, "onehot", "offload_drain"),
       ("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
@@ -283,7 +288,12 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # cadence (VERDICT round-3 item 1). The state carries no ema_params; one
     # packed host round-trip per optimizer update (~1s for XL) is timed
     # inside the recipe cycle.
-    offload = accum_pref == "offload"
+    # "offload" lets the EMA host round-trip overlap the next cycle's grad
+    # compute; "offload_drain" value-fetch-drains in-flight executions first -
+    # required where enqueue-time allocation of the flatten's output buffers
+    # (full bf16 params copy) next to live step temps would OOM (stage-4 mb16,
+    # sweep_r4 probe 7), at the cost of serializing ~1.2s of transfers.
+    offload = accum_pref in ("offload", "offload_drain")
     in_state_ema = ema is not None and not offload
     state = create_train_state(params, tx, use_ema=in_state_ema,
                                ema_dtype=jnp.bfloat16)
@@ -368,15 +378,18 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         hema.block()
         log(f"[{name}] HostEMA: {len(hema.chunks)} packed host chunks "
             f"({time.time() - t0:.0f}s)")
+        drain = accum_pref == "offload_drain"
         recipe_img_s, loss_d, state = _time_dispatch_recipe(
             model, tx, sched, state, mb, k_recipe, latent_res,
-            step_kwargs, rng, name, host_ema=hema,
+            step_kwargs, rng, name, host_ema=hema, ema_drain=drain,
         )
         log(f"[{name}] remat={policy} mb{mb} dispatch K={k_recipe} "
-            f"+ host-offload EMA: {recipe_img_s:.1f} img/s recipe "
+            f"+ host-offload EMA{' (drained)' if drain else ''}: "
+            f"{recipe_img_s:.1f} img/s recipe "
             f"(bare {bare_img_s:.1f}, loss {loss_d:.4f})")
         return (recipe_img_s, bare_img_s, mb,
-                f"dispatch_k{k_recipe}_bf16_hostema")
+                f"dispatch_k{k_recipe}_bf16_hostema"
+                + ("_drain" if drain else ""))
     if k1_fallback_tag:
         # In-step EMA applied every step (not the recipe's per-update cadence):
         # the bare number IS the recipe number, conservatively.
@@ -476,7 +489,8 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
 
 def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
-                          step_kwargs, rng, name, host_ema=None):
+                          step_kwargs, rng, name, host_ema=None,
+                          ema_drain=False):
     """Time the recipe step in split-dispatch mode: K grad dispatches into a
     donated bf16 accumulator + one optimizer/EMA apply. With ``host_ema`` (a
     HostEMA), the recipe's per-update EMA runs as a packed pinned-host
@@ -508,6 +522,13 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
             acc = grad_fn(state.params, acc, mbatch, r, idx)
         state, m = apply_fn(state, acc, k_recipe)
         if host_ema is not None:
+            if ema_drain:
+                # Drain in-flight executions first: the EMA flatten's output
+                # buffers (full bf16 params copy) allocate at ENQUEUE time,
+                # and next to the grad graph's live temps that OOMs at the
+                # stage-4 mb16 peak (sweep_r4 probe 7). Without the drain the
+                # transfers overlap the next cycle's grad compute instead.
+                float(m["loss"])
             # recipe cadence: one EMA update per optimizer update, against
             # the POST-update params (reference update_interval 1ba)
             host_ema.update(state.params)
@@ -608,8 +629,9 @@ def _run_sampling(name, latent_res, px, bs, timed_runs):
     dt_sample = (time.time() - t0) / timed_runs
 
     # VAE decode (SDXL-VAE architecture, synthetic weights - parameter VALUES
-    # don't affect conv throughput)
-    vae = AutoencoderKL()
+    # don't affect conv throughput). bf16 compute = reference parity (the
+    # reference loads the VAE with torch_dtype=bfloat16, model.py:379-382).
+    vae = AutoencoderKL(compute_dtype=jnp.bfloat16)
     t0 = time.time()
     vae.init(jax.random.PRNGKey(1), image_size=px)
     img = vae.decode(lat / model.latent_scale)

@@ -47,6 +47,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# Memory-minimizing sequential schedule: the default CPU scheduler is
+# "optimized for extracting concurrency ... by trading memory" - it keeps
+# many transformer-block recompute regions live at once and reported a 75-95
+# GiB grad-graph temp arena for a step that runs in <16GB on the real chip
+# (measured 2026-08-19). TPU scheduling minimizes liveness; this flag makes
+# the CPU estimate comparable.
+os.environ["XLA_FLAGS"] += \
+    " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
@@ -113,8 +121,16 @@ def _tree_device_bytes(shapes, shardings):
 
 def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
     mesh = make_mesh(data=1, fsdp=N_DEV, tensor=1)
+    # moe_dispatch onehot_dots (pure-XLA expert dots), NOT the production
+    # 'onehot' fused Pallas kernel: in CPU interpret mode the kernel's
+    # VMEM-only expert hiddens become ordinary HLO temps that defeat the
+    # remat policy (measured 75 GiB/device grad-graph estimate at mb32 -
+    # meaningless). With onehot_dots the hiddens are plain HLO values the
+    # attn_moe checkpoint policy drops and rematerializes, which is exactly
+    # their lifetime under the TPU kernel (hiddens never reach HBM) - the
+    # estimate stays conservative for the real device.
     dit = MicroDiT_XL_2(input_size=64, remat=True, remat_policy="attn_moe",
-                        moe_dispatch="onehot")
+                        moe_dispatch="onehot_dots")
     model = LatentDiffusion(dit=dit, latent_res=64,
                             train_mask_ratio=mask_ratio, latent_scale=1.0)
     rng = jax.random.PRNGKey(0)

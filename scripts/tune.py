@@ -402,6 +402,19 @@ def run(args):
                 acc = grad_fn(state.params, acc, mbatch, r, idx)
             state, metrics = apply_fn(state, acc, args.accum)
             if offload_ema:
+                if args.ema_drain == "always":
+                    # Drain in-flight grad/apply executions BEFORE enqueueing
+                    # the EMA update: PJRT allocates the flatten graph's
+                    # output buffers (a full bf16 params copy) at enqueue
+                    # time, next to the grad graph's live temp arena - that
+                    # transient OOMs at the stage-4 mb16 peak (sweep_r4 probe
+                    # 7). Cost: the 2.33GB EMA round-trip serializes into the
+                    # cycle (~1.2s). With headroom (mb8: ~12.5G peak + 2.33G
+                    # fits), "never" lets the transfers overlap the NEXT
+                    # cycle's grad compute - device program order still
+                    # sequences flatten before the next apply reuses the
+                    # donated params buffer.
+                    float(metrics["loss"])
                 # recipe cadence: one EMA update per optimizer update,
                 # against the POST-update params (reference EMA semantics)
                 host_ema_obj.update(state.params)
@@ -427,6 +440,7 @@ def run(args):
             # the timed window includes the host round-trips
             host_ema_obj.block()
             cfg["ema_mode"] = "offload"
+            cfg["ema_drain"] = args.ema_drain
         dt = (time.time() - t0) / args.steps
     else:
         step_kwargs = {}
@@ -537,6 +551,12 @@ def main():
     p.add_argument("--ema-interval", type=int, default=1, dest="ema_interval",
                    help="EMA update every k steps (recipe-faithful cadence "
                    "for K=1 fallback legs is 256/mb)")
+    p.add_argument("--ema-drain", default="always", choices=["always", "never"],
+                   dest="ema_drain",
+                   help="offload mode only: drain in-flight executions before "
+                   "enqueueing the EMA host round-trip (required at tight-HBM "
+                   "configs; 'never' overlaps the transfers with the next "
+                   "cycle's compute)")
     p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload"],
                    dest="ema_mode",
                    help="interval>1 skip mechanism: 'step' = lax.cond inside "
