@@ -136,20 +136,20 @@ STAGES = [
     # deterministic, so skip the doomed compiles. The pre-EMA phase (no EMA
     # buffer) accumulates fine (PRE_EMA_LADDERS).
     ("res512_mask75", 64, 0.75, 50_000,
-     # Round-4 lead rungs: "offload" = EMA bit-packed in pinned HOST RAM
-     # (HostEMA) -> zero HBM residency -> the bf16 dispatch accumulator fits
-     # and the leg runs TRUE recipe optimizer cadence (K=256/mb) with one
-     # packed host round-trip per update (VERDICT round-3 item 1). The
-     # mb16 rung keeps EMA in the apply graph (in-state), where accumulator
-     # + EMA coexist at mb16 (measured 69.4 img/s TRUE recipe, sweep_r4
-     # probe 3). The K=1 host-EMA rungs remain as fallbacks (accum_pref
-     # "none": in-HBM EMA blocks the accumulator at mb32 - measured
-     # RESOURCE_EXHAUSTED).
+     # Round-4 lead rung (MEASURED 2026-08-19, sweep_r4/r4f): mb16 K=16
+     # dispatch with the EMA in the apply graph (in-state bf16) = 69.37 img/s
+     # TRUE recipe cadence - accumulator (2.33G) + EMA (2.33G) coexist at
+     # mb16's smaller temps; at mb32 the same pair is RESOURCE_EXHAUSTED
+     # (re-confirmed this round). The "offload" rung (HostEMA bit-packed in
+     # pinned host RAM) ALSO runs true cadence at mb32 but measured 38.6: the
+     # EMA round-trip executes on the device stream (~3s/cycle), erasing the
+     # accumulation win - kept only as a fallback. K=1 host-EMA rungs
+     # (accum_pref "none", 65.0) close the ladder.
      # flow16 rungs retired round-4: the per-grad-graph bf16 param transient
      # runtime-OOMs in dispatch mode at EVERY stage, even mask75-256px mb128
      # K=2 with no EMA resident (sweep_r4 probes 4-6, RESOURCE_EXHAUSTED).
-     (("attn_moe", 32, "onehot", "offload"),
-      ("attn_moe", 16, "onehot"),
+     (("attn_moe", 16, "onehot"),
+      ("attn_moe", 32, "onehot", "offload"),
       ("attn_moe", 32, "onehot", "none"), ("attn_moe", 16, "onehot", "none"),
       ("attn_moe", 16, "hybrid"),
       ("dots_attn_moe_alean", 16, "onehot"),
@@ -169,7 +169,7 @@ STAGES = [
      # 17.28G/15.75G (+1.53G) even with the fused MoE kernels - the round-2
      # projection held. mb8 was the stage-4 single-chip ceiling WITH the EMA
      # buffer resident; the round-4 "offload" rungs (EMA packed in pinned
-     # host RAM, TRUE recipe accumulation - see res512_mask75 note) retry
+     # host RAM, TRUE recipe accumulation - see res512_mask75 note) retried
      # mb16 with the freed 2.33GB. Measured 2026-08-19 (sweep_r4): the
      # dots_attn_moe mb16 offload grads compile-OOM (80MB bf16 FFN-hidden
      # temps per block survive the policy at mb16) and flow16 runtime-OOMs
@@ -177,9 +177,20 @@ STAGES = [
      # (dots_attn_moe runtime-OOMs even at mb8 offload K=32, and mb16 offload
      # measured 18.3 img/s - the near-limit 14.95G/15.75G graph compiles to a
      # memory-pressure schedule slower per image than mb8 - both retired)
-     (("attn_moe", 8, "onehot", "offload"),
+     # LEAD (measured 2026-08-19, full sweep of every EMA placement): the
+     # K=1 + host-cadence-EMA leg at 23.9 img/s. TRUE-recipe K=32 variants,
+     # all measured: no-EMA 26.48 (proves the accumulation), in-state EMA
+     # RESOURCE_EXHAUSTED (acc 2.33G + EMA 2.33G don't fit at T=1024 temps),
+     # offload EMA 20.9/18.3 (never/drain). The offload floor is PHYSICS,
+     # not code: the EMA bytes (2.33G bf16) must cross PCIe both ways per
+     # update = >=1.0s at the measured link (H2D 11.6, D2H 2.9 GB/s), vs the
+     # 0.85s of AdamW that K=32 amortizes away - on ONE 16GB chip the
+     # true-cadence leg can at best TIE the K=1 approximation (PERF.md round
+     # 4). Multi-chip ZeRO-2 fits in-state fp32 EMA + accumulator at 13.4
+     # GiB/device (MULTICHIP_CAPACITY.json) and runs the true recipe.
+     (("attn_moe", 8, "onehot", "none"),
+      ("attn_moe", 8, "onehot", "offload"),
       ("attn_moe", 8, "onehot", "offload_drain"),
-      ("attn_moe", 8, "onehot", "none"),
       ("attn_moe", 8, "hybrid", "none"),
       ("dots_attn_moe_alean", 8, "onehot"),
       ("dots_attn_moe_xlean_alean", 8, "hybrid"),

@@ -17,7 +17,7 @@ TPU-first design choices (vs. the reference's CUDA/torch idioms):
 Reference citations are file:line into /root/reference.
 """
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -98,6 +98,12 @@ class DiTBlock(nn.Module):
     attn_remat_proj: bool = False
     moe_dispatch: str = "onehot"
     attn_impl: str = "auto"
+    # Cross-attention backend override (None -> follow attn_impl). The xattn
+    # site's shape is extreme - kv = 77 caption tokens vs Tq up to 1024 - and
+    # the measured-best backend can differ from self-attention's (the lane
+    # kernel runs one tiny program per (image, q-block) there; see
+    # ops/attention.py and PERF.md round 4).
+    xattn_impl: Optional[str] = None
     fused_adaln: bool = False
     dtype: Any = jnp.bfloat16
 
@@ -150,7 +156,7 @@ class DiTBlock(nn.Module):
             qkv_init=normal_init(0.02),
             proj_init=normal_init(init_std),
             dtype=self.dtype,
-            attn_impl=self.attn_impl,
+            attn_impl=self.xattn_impl or self.attn_impl,
             remat_proj=self.attn_remat_proj,
             name="cross_attn",
         )(h, y)
@@ -254,6 +260,8 @@ class DiT(nn.Module):
     # commit cedfe94). Where the lane kernel does not apply, flash-bh takes over
     # only at Tq >= 512 (it pays host transposes) and XLA runs below.
     attention_impl: str = "auto"
+    # Cross-attention backend override (None -> attention_impl). See DiTBlock.
+    xattn_attention_impl: Optional[str] = None
     # Fuse each adaLN LayerNorm+modulate into one Pallas VMEM pass
     # (ops/adaln.py). Off by default: XLA fuses the unfused chain well and the
     # kernel never won a bench rung; kept as a config choice with an
@@ -398,6 +406,7 @@ class DiT(nn.Module):
                     attn_remat_proj=attn_lean,
                     moe_dispatch=self.moe_dispatch,
                     attn_impl=self.attention_impl,
+                    xattn_impl=self.xattn_attention_impl,
                     fused_adaln=self.fused_adaln,
                     dtype=self.dtype,
                     name=f"patch_mixer_{i}",
@@ -446,6 +455,7 @@ class DiT(nn.Module):
                 attn_remat_proj=attn_lean,
                 moe_dispatch=self.moe_dispatch,
                 attn_impl=self.attention_impl,
+                xattn_impl=self.xattn_attention_impl,
                 fused_adaln=self.fused_adaln,
                 dtype=self.dtype,
                 name=f"blocks_{i}",

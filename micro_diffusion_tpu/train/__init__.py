@@ -1,7 +1,8 @@
 from .optim import build_optimizer, build_schedule, ema_update
 from .train_step import (TrainState, create_train_state, make_train_step,
                          make_eval_step, make_grad_step, make_apply_step,
-                         make_ema_step, HostEMA, host_memory_sharding,
+                         make_ema_step, HostEMA, AsyncHostEMA,
+                         host_memory_sharding,
                          zero_grad_accumulator)
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "make_apply_step",
     "make_ema_step",
     "HostEMA",
+    "AsyncHostEMA",
     "host_memory_sharding",
     "zero_grad_accumulator",
 ]

@@ -62,7 +62,7 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def build(stage, remat, mb, moe="onehot", attn="auto"):
+def build(stage, remat, mb, moe="onehot", attn="auto", xattn=None):
     res, mask = STAGES[stage]
     dit = MicroDiT_XL_2(
         input_size=res,
@@ -70,6 +70,7 @@ def build(stage, remat, mb, moe="onehot", attn="auto"):
         remat_policy=remat if remat != "none" else "full",
         moe_dispatch=moe,
         attention_impl=attn,
+        xattn_attention_impl=xattn,
     )
     model = LatentDiffusion(
         dit=dit, latent_res=res, train_mask_ratio=mask, latent_scale=1.0
@@ -111,7 +112,7 @@ def measure_fwd_flops(stage):
 def run_breakdown(args):
     """Time fwd-only, fwd+bwd, and full step separately to locate the overhead."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     batch = make_batch(args.mb, res)
 
     def loss_fn(params, rng, b):
@@ -149,7 +150,7 @@ def run_inner(args):
     """K chained train steps inside ONE jit (lax.scan): pure device time without
     per-dispatch relay overhead. Compare ms/step against the dispatch-loop number."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -189,7 +190,7 @@ def run_profile(args):
     import glob
 
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(params, sched, clip_norm=0.25,
                          low_precision_moments=(args.nu == "bf16"),
@@ -302,7 +303,7 @@ def dump_hlo(args):
     """Write the OPTIMIZED HLO of the jit'd train step to a file (chipless AOT
     compile) - for tracking profiler top-ops back to source (metadata op_name)."""
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -324,7 +325,7 @@ def dump_hlo(args):
 
 def run(args):
     res, mask = STAGES[args.stage]
-    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn)
+    model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
     tx = build_optimizer(
         params, sched, clip_norm=0.25,
@@ -338,19 +339,30 @@ def run(args):
     # from HBM and round-trips the EMA through the host link (~1.0s for XL,
     # scripts/probe_hostmem.py).
     offload_ema = args.ema and args.ema_mode == "offload"
-    state = create_train_state(params, tx, use_ema=args.ema and not offload_ema,
+    # --ema-mode async: EMA fp32 in host RAM, decayed in numpy on a worker
+    # thread; device cost per update = one flatten + async D2H (AsyncHostEMA).
+    async_ema = args.ema and args.ema_mode == "async"
+    in_state = args.ema and not offload_ema and not async_ema
+    state = create_train_state(params, tx, use_ema=in_state,
                                ema_dtype=jnp.bfloat16 if args.ema else None)
     host_ema_obj = None
+    ema_cfg = bench.STAGE_EMA.get(args.stage)
+    smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
     if offload_ema:
         from micro_diffusion_tpu.train import HostEMA
 
-        ema_cfg = bench.STAGE_EMA.get(args.stage)
-        smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
         t0 = time.time()
         host_ema_obj = HostEMA(state.params, smoothing)
         host_ema_obj.block()
         log(f"HostEMA created: {len(host_ema_obj.chunks)} host chunks "
             f"({time.time() - t0:.0f}s)")
+    elif async_ema:
+        from micro_diffusion_tpu.train import AsyncHostEMA
+
+        t0 = time.time()
+        host_ema_obj = AsyncHostEMA(state.params, smoothing)
+        log(f"AsyncHostEMA created: {len(host_ema_obj._bounds)} host fp32 "
+            f"slices ({time.time() - t0:.0f}s)")
     del params
     flow_dtype = jnp.bfloat16 if args.flow == "bf16" else None
 
@@ -358,6 +370,8 @@ def run(args):
     cfg = {"stage": args.stage, "remat": args.remat, "mb": args.mb,
            "accum": args.accum, "nu": args.nu, "mode": args.accum_mode,
            "moe": args.moe, "attn": args.attn}
+    if args.xattn:
+        cfg["xattn"] = args.xattn
     if args.flow == "bf16":
         cfg["flow"] = "bf16"
     if args.accum > 1:
@@ -372,7 +386,7 @@ def run(args):
         # split-dispatch accumulation: k small grad graphs + one apply graph
         # (the scanned whole-step graph crashes the remote compile helper)
         apply_kwargs = {}
-        if args.ema and not offload_ema:
+        if in_state:
             ema_cfg = bench.STAGE_EMA.get(args.stage)
             apply_kwargs = dict(
                 ema_smoothing=ema_cfg["smoothing"] if ema_cfg else 0.9975,
@@ -418,18 +432,20 @@ def run(args):
                 # recipe cadence: one EMA update per optimizer update,
                 # against the POST-update params (reference EMA semantics)
                 host_ema_obj.update(state.params)
+            elif async_ema:
+                host_ema_obj.update(state.params)
             return state, metrics
 
         t0 = time.time()
         state, metrics = step_cycle(state)
         loss0 = float(metrics["loss"])
-        if offload_ema:
+        if offload_ema or async_ema:
             host_ema_obj.block()
         compile_s = time.time() - t0
         log(f"compile+first cycle: {compile_s:.0f}s (loss {loss0:.4f})")
         state, metrics = step_cycle(state)
         float(metrics["loss"])
-        if offload_ema:
+        if offload_ema or async_ema:
             host_ema_obj.block()
         t0 = time.time()
         for _ in range(args.steps):
@@ -441,6 +457,10 @@ def run(args):
             host_ema_obj.block()
             cfg["ema_mode"] = "offload"
             cfg["ema_drain"] = args.ema_drain
+        elif async_ema:
+            # join the fetch+decay queue: any unoverlapped residual counts
+            host_ema_obj.block()
+            cfg["ema_mode"] = "async"
         dt = (time.time() - t0) / args.steps
     else:
         step_kwargs = {}
@@ -557,12 +577,15 @@ def main():
                    "enqueueing the EMA host round-trip (required at tight-HBM "
                    "configs; 'never' overlaps the transfers with the next "
                    "cycle's compute)")
-    p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload"],
+    p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload", "async"],
                    dest="ema_mode",
                    help="interval>1 skip mechanism: 'step' = lax.cond inside "
                    "the step graph (+~49MB cond buffers), 'host' = separate "
                    "jitted make_ema_step dispatched every k-th step (bench "
                    "K=1 fallback semantics)")
+    p.add_argument("--xattn", default=None,
+                   choices=["xla", "flash_lane", "flash_bh", "flash_bthd"],
+                   help="cross-attention backend override (default: follow --attn)")
     p.add_argument("--attn", default="auto",
                    choices=["auto", "xla", "flash", "flash_lane", "flash_bh", "flash_bthd"],
                    help="attention backend (static module attr)")

@@ -197,6 +197,60 @@ def test_host_ema_chunked_matches_ema_update():
     assert np.isfinite(ema.block())
 
 
+def test_async_host_ema_matches_fp32_decay():
+    """AsyncHostEMA (EMA fp32 in host RAM, numpy decay on a worker thread -
+    the round-4 TRUE-recipe EMA for the 512px stages) must match the exact
+    fp32 decay chain with bf16-rounded params contributions, across chunk
+    boundaries and multiple queued updates, and reassemble the tree in the
+    params' dtypes."""
+    from micro_diffusion_tpu.train import AsyncHostEMA
+
+    params = {"a": jnp.linspace(0.0, 3.0, 32, dtype=jnp.float32).reshape(8, 4),
+              "b": jnp.arange(6, dtype=jnp.float32),
+              "c": {"w": jnp.full((5, 3), -0.75, jnp.float32)}}
+    ema = AsyncHostEMA(params, smoothing=0.9, chunk_bytes=32)
+    assert len(ema._bounds) > 1
+
+    p1 = jax.tree.map(lambda p: p * 2.0, params)
+    p2 = jax.tree.map(lambda p: p - 1.0, params)
+    ema.update(p1)
+    ema.update(p2)
+    ema.block()
+    got = ema.ema_tree()
+    ema.close()
+
+    def bf16_round(t):
+        return jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16).astype(jnp.float32), t)
+
+    ref = params  # init: ema = params, exact fp32
+    for p in (bf16_round(p1), bf16_round(p2)):
+        ref = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q, ref, p)
+    for k_got, k_ref in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert k_got.shape == k_ref.shape
+        assert k_got.dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(k_got), np.asarray(k_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_async_host_ema_worker_error_surfaces():
+    """A failure on the fetch+decay worker must re-raise in block(), not
+    vanish (fail-soft would silently corrupt the EMA)."""
+    from micro_diffusion_tpu.train import AsyncHostEMA
+
+    params = {"a": jnp.ones((4,), jnp.float32)}
+    ema = AsyncHostEMA(params, smoothing=0.9)
+    ema._exc = RuntimeError("boom")
+    try:
+        ema.update(params)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    ema._exc = None
+    ema.close()
+
+
 def test_train_step_single_device():
     model = micro_model()
     params = model.init(jax.random.PRNGKey(0))
