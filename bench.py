@@ -36,6 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 from micro_diffusion_tpu.models.diffusion import LatentDiffusion
 from micro_diffusion_tpu.models.dit import MicroDiT_XL_2
 from micro_diffusion_tpu.train import (
+    HostComputeEMA,
     HostEMA,
     build_optimizer,
     create_train_state,
@@ -304,7 +305,14 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # required where enqueue-time allocation of the flatten's output buffers
     # (full bf16 params copy) next to live step temps would OOM (stage-4 mb16,
     # sweep_r4 probe 7), at the cost of serializing ~1.2s of transfers.
-    offload = accum_pref in ("offload", "offload_drain")
+    # "hostcompute"/"hostcompute_drain": fp32 EMA in pinned host RAM, decay
+    # executed on the TPU host CPU (compute_on('device_host'), HostComputeEMA)
+    # - only the one-way bf16 params D2H rides the device link per recipe
+    # update. Measured round 4 (bench_runs/hostcompute_r4.log): stage-4 mb8
+    # K=32 = 23.26 img/s drained - the fastest TRUE-recipe-cadence leg on one
+    # chip (offload round-trip: 20.4-20.9).
+    offload = accum_pref in ("offload", "offload_drain",
+                             "hostcompute", "hostcompute_drain")
     in_state_ema = ema is not None and not offload
     state = create_train_state(params, tx, use_ema=in_state_ema,
                                ema_dtype=jnp.bfloat16)
@@ -384,22 +392,25 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     if k_recipe == 1:
         return bare_img_s, bare_img_s, mb, "none"
     if offload and ema is not None:
+        hostcompute = accum_pref.startswith("hostcompute")
+        cls = HostComputeEMA if hostcompute else HostEMA
         t0 = time.time()
-        hema = HostEMA(state.params, ema)
+        hema = cls(state.params, ema)
         hema.block()
-        log(f"[{name}] HostEMA: {len(hema.chunks)} packed host chunks "
+        log(f"[{name}] {cls.__name__}: {len(hema.chunks)} host chunks "
             f"({time.time() - t0:.0f}s)")
-        drain = accum_pref == "offload_drain"
+        drain = accum_pref.endswith("_drain")
         recipe_img_s, loss_d, state = _time_dispatch_recipe(
             model, tx, sched, state, mb, k_recipe, latent_res,
             step_kwargs, rng, name, host_ema=hema, ema_drain=drain,
         )
+        tag = "hostcompute" if hostcompute else "hostema"
         log(f"[{name}] remat={policy} mb{mb} dispatch K={k_recipe} "
-            f"+ host-offload EMA{' (drained)' if drain else ''}: "
+            f"+ {tag} EMA{' (drained)' if drain else ''}: "
             f"{recipe_img_s:.1f} img/s recipe "
             f"(bare {bare_img_s:.1f}, loss {loss_d:.4f})")
         return (recipe_img_s, bare_img_s, mb,
-                f"dispatch_k{k_recipe}_bf16_hostema"
+                f"dispatch_k{k_recipe}_bf16_{tag}"
                 + ("_drain" if drain else ""))
     if k1_fallback_tag:
         # In-step EMA applied every step (not the recipe's per-update cadence):

@@ -570,6 +570,128 @@ class AsyncHostEMA:
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
 
+class HostComputeEMA:
+    """EMA as fp32 chunks in pinned TPU-host RAM, decayed ON THE HOST CPU via
+    XLA host-offloaded compute (``compute_on('device_host')``).
+
+    The third EMA placement, and the missing cell of the round-4 stage-4
+    ledger (PERF.md round 4 §2). The other off-HBM placements both pay more:
+    HostEMA's decay graphs execute on the DEVICE, streaming the EMA chunks
+    H2D and back D2H every update (~2.6 s/cycle measured); AsyncHostEMA's
+    numpy decay is sound but its client-side fetch crosses this deployment's
+    network tunnel at 0.03 GB/s. Here the decay e' = s*e + (1-s)*p runs
+    inside the XLA program but annotated for the TPU host's CPU, so the only
+    device-link traffic per recipe update is the ONE-WAY bf16 params D2H -
+    measured 1.67 s drained for the full XL tree, and the dispatches overlap
+    subsequently enqueued device compute (scripts/probe_hostcompute_ema.py).
+    Zero HBM residency between updates, same as HostEMA.
+
+    Numerics: the EMA accumulator is fp32 (finer than the in-state bf16
+    tree); the params contribution rides the wire in bf16 - the same
+    quantization the in-state bf16 EMA applies to its whole buffer. Host fp32
+    FMA contraction differs from the TPU's fp32 rounding by a few ulp per
+    decay (measured rel ~1e-6 over 5 chained decays on the real chip);
+    recorded in PARITY.md. fp32 host buffers round-trip EXACTLY through the
+    relay - the cross-executable permutation bug is sub-32-bit only (see
+    HostEMA) - so no bit-packing is needed here.
+
+    Reference cadence preserved: one update per optimizer step, against
+    post-update params (Composer EMA, update_interval 1ba -
+    /root/reference/configs/res_512_finetune.yaml ema block).
+
+    ``offload=False``: identical chunking/decay math with device buffers and
+    no host annotation - the CPU-testable mode (XLA:CPU executes neither
+    memory-space-annotated graphs nor device_host computations).
+    """
+
+    def __init__(self, params: Any, smoothing: float,
+                 chunk_bytes: int = 768 * 1024 * 1024,
+                 offload: bool = True,
+                 device: Optional[Any] = None):
+        from jax.experimental.compute_on import compute_on
+
+        self.smoothing = float(smoothing)
+        self.offload = offload
+        device = device or jax.devices()[0]
+        s_dev = jax.sharding.SingleDeviceSharding(device)
+        s_store = host_memory_sharding(device) if offload else s_dev
+        self._s_dev, self._s_store = s_dev, s_store
+
+        leaves, self._treedef = jax.tree_util.tree_flatten(params)
+        self._shapes = [l.shape for l in leaves]
+        self._dtypes = [l.dtype for l in leaves]
+        total = sum(int(jnp.size(l)) for l in leaves)
+        self.total_elems = total
+        per_chunk = max(1, chunk_bytes // 4)  # fp32 host storage
+        self._bounds = []
+        start = 0
+        while start < total:
+            self._bounds.append((start, min(start + per_chunk, total)))
+            start += per_chunk
+
+        def flatten(tree):
+            flat = jnp.concatenate(
+                [jnp.ravel(l).astype(jnp.bfloat16)
+                 for l in jax.tree_util.tree_leaves(tree)]
+            )
+            return tuple(flat[a:b] for a, b in self._bounds)
+
+        # device-only: pytree in, flat bf16 device chunks out (trees are fine
+        # in graphs that never touch host memory - see HostEMA)
+        self._flatten = jax.jit(flatten)
+
+        s = self.smoothing
+
+        def decay_fn(e, p):
+            if offload:
+                with compute_on("device_host"):
+                    return s * e + (1.0 - s) * p.astype(jnp.float32)
+            return s * e + (1.0 - s) * p.astype(jnp.float32)
+
+        # single-array-in/single-array-out graphs wherever host memory is
+        # involved (the relay's AOT constraint - HostEMA docstring)
+        self._decay = jax.jit(decay_fn, in_shardings=(s_store, s_dev),
+                              out_shardings=s_store, donate_argnums=(0,))
+        self._to_store = jax.jit(lambda c: c.astype(jnp.float32),
+                                 in_shardings=(s_dev,), out_shardings=s_store)
+        self._to_dev = jax.jit(lambda c: c, in_shardings=(s_store,),
+                               out_shardings=s_dev)
+        self._probe = jax.jit(lambda c: c[0])
+
+        # init: ema = params through the same bf16 wire as updates (one
+        # bf16-rounding of the initial copy, same as the in-state bf16 EMA's
+        # init). A full-fp32 device flatten here would materialize a second
+        # 4.3GiB fp32 tree next to the live train state - the bf16 chunks
+        # peak at half that and are freed per-chunk by _to_store.
+        self.chunks = [self._to_store(c) for c in self._flatten(params)]
+
+    def update(self, params: Any) -> None:
+        """ema <- s*ema + (1-s)*params, POST-update params (recipe cadence).
+        Device cost: one flatten (bf16 params copy) + the one-way D2H inside
+        each decay; dispatches return immediately and overlap later-enqueued
+        device work."""
+        dev_chunks = self._flatten(params)
+        self.chunks = [self._decay(e, p)
+                       for e, p in zip(self.chunks, dev_chunks)]
+
+    def materialize(self) -> Any:
+        """Reassemble the EMA pytree on device (for eval/checkpointing)."""
+        flat = jnp.concatenate([self._to_dev(c) for c in self.chunks])
+        out, pos = [], 0
+        for shape, dt in zip(self._shapes, self._dtypes):
+            n = 1
+            for d in shape:
+                n *= d
+            out.append(flat[pos:pos + n].reshape(shape).astype(dt))
+            pos += n
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+    def block(self) -> float:
+        """Value-fetch barrier on the newest chunk (through the axon relay,
+        block_until_ready does not reliably block)."""
+        return float(self._probe(self._to_dev(self.chunks[-1])))
+
+
 def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):
     """Fresh (loss_sum, grad_sum) accumulator for make_grad_step.
 

@@ -338,7 +338,11 @@ def run(args):
     # recipe update (or per --ema-interval steps on K=1 legs) reads params
     # from HBM and round-trips the EMA through the host link (~1.0s for XL,
     # scripts/probe_hostmem.py).
-    offload_ema = args.ema and args.ema_mode == "offload"
+    # --ema-mode hostcompute: fp32 EMA in pinned host RAM, decay executed on
+    # the TPU host CPU (compute_on('device_host'), HostComputeEMA) - the only
+    # device-link traffic per update is the one-way bf16 params D2H. Shares
+    # the offload code path (same interface + drain semantics).
+    offload_ema = args.ema and args.ema_mode in ("offload", "hostcompute")
     # --ema-mode async: EMA fp32 in host RAM, decayed in numpy on a worker
     # thread; device cost per update = one flatten + async D2H (AsyncHostEMA).
     async_ema = args.ema and args.ema_mode == "async"
@@ -349,12 +353,13 @@ def run(args):
     ema_cfg = bench.STAGE_EMA.get(args.stage)
     smoothing = ema_cfg["smoothing"] if ema_cfg else 0.9975
     if offload_ema:
-        from micro_diffusion_tpu.train import HostEMA
+        from micro_diffusion_tpu.train import HostComputeEMA, HostEMA
 
+        cls = HostEMA if args.ema_mode == "offload" else HostComputeEMA
         t0 = time.time()
-        host_ema_obj = HostEMA(state.params, smoothing)
+        host_ema_obj = cls(state.params, smoothing)
         host_ema_obj.block()
-        log(f"HostEMA created: {len(host_ema_obj.chunks)} host chunks "
+        log(f"{cls.__name__} created: {len(host_ema_obj.chunks)} host chunks "
             f"({time.time() - t0:.0f}s)")
     elif async_ema:
         from micro_diffusion_tpu.train import AsyncHostEMA
@@ -455,7 +460,7 @@ def run(args):
             # the EMA offload chain is sequenced by donation; barrier on it so
             # the timed window includes the host round-trips
             host_ema_obj.block()
-            cfg["ema_mode"] = "offload"
+            cfg["ema_mode"] = args.ema_mode
             cfg["ema_drain"] = args.ema_drain
         elif async_ema:
             # join the fetch+decay queue: any unoverlapped residual counts
@@ -518,7 +523,7 @@ def run(args):
             dt_ema = (time.time() - t0) / 4
             log(f"offloaded ema update: {dt_ema * 1e3:.1f} ms per update "
                 f"(every {args.ema_interval} steps)")
-            cfg["ema_mode"] = "offload"
+            cfg["ema_mode"] = args.ema_mode
             dt = dt + dt_ema / max(1, args.ema_interval)
         elif args.ema and args.ema_interval > 1 and args.ema_mode == "host":
             from micro_diffusion_tpu.train import make_ema_step
@@ -577,7 +582,7 @@ def main():
                    "enqueueing the EMA host round-trip (required at tight-HBM "
                    "configs; 'never' overlaps the transfers with the next "
                    "cycle's compute)")
-    p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload", "async"],
+    p.add_argument("--ema-mode", default="host", choices=["step", "host", "offload", "async", "hostcompute"],
                    dest="ema_mode",
                    help="interval>1 skip mechanism: 'step' = lax.cond inside "
                    "the step graph (+~49MB cond buffers), 'host' = separate "

@@ -197,6 +197,43 @@ def test_host_ema_chunked_matches_ema_update():
     assert np.isfinite(ema.block())
 
 
+def test_hostcompute_ema_matches_fp32_decay():
+    """HostComputeEMA (fp32 EMA chunks in pinned host RAM, decay annotated
+    compute_on('device_host') - the third EMA placement of the round-4
+    stage-4 ledger) must match the exact fp32 decay chain with bf16-rounded
+    params contributions across chunk boundaries, and reassemble the tree.
+    offload=False runs the identical chunk/decay math in device memory with
+    no host annotation - the CPU-testable mode; the pinned-host host-compute
+    mode is exercised on real TPU by scripts/probe_hostcompute_ema.py."""
+    from micro_diffusion_tpu.train import HostComputeEMA
+
+    params = {"a": jnp.linspace(0.0, 3.0, 32, dtype=jnp.float32).reshape(8, 4),
+              "b": jnp.arange(6, dtype=jnp.float32),
+              "c": {"w": jnp.full((5, 3), -0.75, jnp.float32)}}
+    ema = HostComputeEMA(params, smoothing=0.9, offload=False, chunk_bytes=32)
+    assert len(ema.chunks) > 1
+
+    p1 = jax.tree.map(lambda p: p * 2.0, params)
+    p2 = jax.tree.map(lambda p: p - 1.0, params)
+    ema.update(p1)
+    ema.update(p2)
+    got = ema.materialize()
+
+    def bf16_round(t):
+        return jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16).astype(jnp.float32), t)
+
+    ref = params  # init: ema = params, exact fp32
+    for p in (bf16_round(p1), bf16_round(p2)):
+        ref = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q, ref, p)
+    for k_got, k_ref in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert k_got.shape == k_ref.shape
+        np.testing.assert_allclose(
+            np.asarray(k_got, np.float32), np.asarray(k_ref), rtol=1e-6,
+            atol=1e-6)
+    assert np.isfinite(ema.block())
+
+
 def test_async_host_ema_matches_fp32_decay():
     """AsyncHostEMA (EMA fp32 in host RAM, numpy decay on a worker thread -
     the round-4 TRUE-recipe EMA for the 512px stages) must match the exact
