@@ -9,16 +9,27 @@ Baseline: the reference publishes no images/sec. Derived from its own numbers
 = 439 img/s per H100, schedule-weighted across stages. vs_baseline compares our
 schedule-weighted per-chip number against that.
 
-Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+Output protocol (driver-survivable, round-5): the final line on stdout is ONE
+JSON result line. After every completed stage leg the CURRENT partial result
+(weighted over the stages measured so far, flagged "partial": true) is printed
+too, and a SIGTERM handler + atexit hook re-emit the latest partial - so a
+driver timeout (BENCH_r04.json died rc=124 with parsed:null, losing every
+measured leg) still yields the weighted metric over measured stages. A
+time-budget ladder trimmer (MDT_BENCH_BUDGET_S) drops fallback rungs when the
+wall budget runs short. Diagnostics go to stderr.
 
 Env:
-  MDT_BENCH_QUICK=1   -> stage-1 only (fast sanity run); metric name says so
-  MDT_BENCH_STEPS=N   -> timed steps per stage (default 10)
+  MDT_BENCH_QUICK=1      -> stage-1 only (fast sanity run); metric name says so
+  MDT_BENCH_STEPS=N      -> timed steps per stage (default 10)
+  MDT_BENCH_BUDGET_S=N   -> wall budget in seconds (default 3600): ladders are
+                            trimmed toward lead-rung-only as it depletes
 """
 
+import atexit
 import gc
 import json
 import os
+import signal
 import sys
 import time
 
@@ -308,11 +319,16 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
     # "hostcompute"/"hostcompute_drain": fp32 EMA in pinned host RAM, decay
     # executed on the TPU host CPU (compute_on('device_host'), HostComputeEMA)
     # - only the one-way bf16 params D2H rides the device link per recipe
-    # update. Measured round 4 (bench_runs/hostcompute_r4.log): stage-4 mb8
-    # K=32 = 23.26 img/s drained - the fastest TRUE-recipe-cadence leg on one
-    # chip (offload round-trip: 20.4-20.9).
-    offload = accum_pref in ("offload", "offload_drain",
-                             "hostcompute", "hostcompute_drain")
+    # update. Measured round 4 (tune_results.jsonl, 2026-08-19): stage-4 mb8
+    # K=32 = 23.26 img/s drained / 23.05 'never'-drain - the fastest
+    # TRUE-recipe-cadence legs on one chip (offload round-trip: 20.4-20.9),
+    # but still behind the K=1 host-cadence lead (23.9).
+    # "hostcompute_interleave": the round-5 lever - chunk decays staged via
+    # begin_update and dispatched one-per-grad-gap in the NEXT cycle, so the
+    # one-way D2H hides behind grad compute instead of serializing after the
+    # apply (the measured 'never'~=drained failure mode, PERF.md round 4 §2).
+    offload = accum_pref in ("offload", "offload_drain", "hostcompute",
+                             "hostcompute_drain", "hostcompute_interleave")
     in_state_ema = ema is not None and not offload
     state = create_train_state(params, tx, use_ema=in_state_ema,
                                ema_dtype=jnp.bfloat16)
@@ -400,11 +416,15 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
         log(f"[{name}] {cls.__name__}: {len(hema.chunks)} host chunks "
             f"({time.time() - t0:.0f}s)")
         drain = accum_pref.endswith("_drain")
+        interleave = accum_pref == "hostcompute_interleave"
         recipe_img_s, loss_d, state = _time_dispatch_recipe(
             model, tx, sched, state, mb, k_recipe, latent_res,
             step_kwargs, rng, name, host_ema=hema, ema_drain=drain,
+            ema_interleave=interleave,
         )
         tag = "hostcompute" if hostcompute else "hostema"
+        if interleave:
+            tag += "_interleave"
         log(f"[{name}] remat={policy} mb{mb} dispatch K={k_recipe} "
             f"+ {tag} EMA{' (drained)' if drain else ''}: "
             f"{recipe_img_s:.1f} img/s recipe "
@@ -512,12 +532,17 @@ def _run_config(name, latent_res, mask_ratio, policy, mb, timed_steps,
 
 def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
                           step_kwargs, rng, name, host_ema=None,
-                          ema_drain=False):
+                          ema_drain=False, ema_interleave=False):
     """Time the recipe step in split-dispatch mode: K grad dispatches into a
     donated bf16 accumulator + one optimizer/EMA apply. With ``host_ema`` (a
     HostEMA), the recipe's per-update EMA runs as a packed pinned-host
     round-trip after the apply - its transfer time is inside the timed window
-    (final block() barrier). Returns (recipe_img_s, loss, state); raises on
+    (final block() barrier). ``ema_interleave`` (HostComputeEMA only): instead
+    of enqueuing all chunk decays right after the apply (measured to serialize
+    on the device stream: 'never'~=drained, tune_results.jsonl), stage them
+    with begin_update and dispatch ONE chunk decay between successive grad
+    dispatches of the NEXT cycle so each one-way D2H rides the gaps (VERDICT
+    r4 next-round #4). Returns (recipe_img_s, loss, state); raises on
     compile/OOM failure."""
     step_kwargs = dict(step_kwargs)
     flow_dtype = step_kwargs.pop("param_flow_dtype", None)
@@ -536,12 +561,17 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
         lambda p: zero_grad_accumulator(p, jnp.bfloat16)
     )
     mbatch = _make_batch(mb, latent_res)
+    pending = []  # staged chunk-decay thunks from the previous cycle's EMA
 
     def cycle(state, i):
         acc = zero_fn(state.params)
         r = jax.random.fold_in(rng, i)
         for idx in range(k_recipe):
             acc = grad_fn(state.params, acc, mbatch, r, idx)
+            if pending:
+                pending.pop(0)()  # one chunk decay rides this gap
+        while pending:  # leftovers if n_chunks > k_recipe
+            pending.pop(0)()
         state, m = apply_fn(state, acc, k_recipe)
         if host_ema is not None:
             if ema_drain:
@@ -553,7 +583,10 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
                 float(m["loss"])
             # recipe cadence: one EMA update per optimizer update, against
             # the POST-update params (reference update_interval 1ba)
-            host_ema.update(state.params)
+            if ema_interleave:
+                pending.extend(host_ema.begin_update(state.params, lazy=True))
+            else:
+                host_ema.update(state.params)
         return state, m
 
     t0 = time.time()
@@ -695,9 +728,52 @@ def bench_sampling(timed_runs=3):
     return results
 
 
+def _build_out(results, quick, n_total, sampling=None, partial=False):
+    """Assemble the result JSON over the stages measured SO FAR. Partial
+    outputs weight over measured stages only and say so in the metric name -
+    a timeout mid-ladder still yields an authoritative number for what ran."""
+    if not results:
+        return None
+    if quick:
+        value = results["res256_mask75"]["img_per_sec_per_chip"]
+        metric = ("MicroDiT-XL stage1 (256px mask0.75) recipe-step train "
+                  "images/sec/chip")
+    else:
+        total_images = sum(r["schedule_steps"] * 2048 for r in results.values())
+        total_time = sum(
+            r["schedule_steps"] * 2048 / r["img_per_sec_per_chip"]
+            for r in results.values()
+        )
+        value = total_images / total_time
+        metric = ("MicroDiT-XL 4-stage schedule-weighted recipe-step train "
+                  "images/sec/chip")
+        if partial and len(results) < n_total:
+            metric += f" (PARTIAL: {len(results)}/{n_total} stages measured)"
+    out = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        "detail": {
+            k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
+                for kk, vv in v.items()}
+            for k, v in results.items()
+        },
+        "baseline_img_per_sec_per_chip": BASELINE_IMG_PER_SEC_PER_CHIP,
+        "device": str(jax.devices()[0]),
+    }
+    if partial:
+        out["partial"] = True
+    if sampling:
+        out["detail"]["sampling"] = sampling
+    return out
+
+
 def main():
+    t_start = time.time()
     quick = os.environ.get("MDT_BENCH_QUICK") == "1"
     timed_steps = int(os.environ.get("MDT_BENCH_STEPS", "10"))
+    budget = float(os.environ.get("MDT_BENCH_BUDGET_S", "3600"))
     stages = STAGES[:1] if quick else STAGES
     only = os.environ.get("MDT_BENCH_STAGES")  # csv filter, e.g. "res512_mask75"
     if only:
@@ -705,9 +781,50 @@ def main():
         stages = [s for s in stages if s[0] in keep]
 
     results = {}
+    sampling = {}
+    snap = {"final_emitted": False}
+
+    def emit_partial(reason):
+        """Print the current partial result line (driver-survivability: a
+        timeout/kill mid-run must still yield the weighted metric over the
+        stages measured so far - BENCH_r04.json lost everything to rc=124)."""
+        if snap["final_emitted"]:
+            return
+        out = _build_out(results, quick, len(stages),
+                         sampling=sampling or None, partial=True)
+        if out is None:
+            return
+        log(f"[bench] emitting partial result ({reason}): "
+            f"{len(results)}/{len(stages)} stages")
+        print(json.dumps(out), flush=True)
+
+    def on_sigterm(signum, frame):  # noqa: ARG001
+        emit_partial(f"signal {signum}")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_sigterm)
+    signal.signal(signal.SIGINT, on_sigterm)
+    atexit.register(lambda: emit_partial("atexit"))
+
+    def remaining():
+        return budget - (time.time() - t_start)
+
+    def trim(ladder, label):
+        """Budget-aware ladder trimming: with little wall budget left, only
+        the lead rung (+1 fallback) gets a shot - a cold lead-rung compile is
+        164-230s (BENCH_r04 tail), so a deep fallback walk cannot finish."""
+        r = remaining()
+        if r < 0.18 * budget and len(ladder) > 1:
+            log(f"[{label}] budget tight ({r:.0f}s left): lead rung only")
+            return ladder[:1]
+        if r < 0.45 * budget and len(ladder) > 2:
+            log(f"[{label}] budget low ({r:.0f}s left): lead + 1 fallback")
+            return ladder[:2]
+        return ladder
+
     for name, res, mask, steps, ladder in stages:
         img_s, bare, mb, policy, moe, accum, flow = bench_stage(
-            name, res, mask, ladder, timed_steps
+            name, res, mask, trim(ladder, name), timed_steps
         )
         detail = {
             "bare_step_img_per_sec": bare,
@@ -723,7 +840,8 @@ def main():
         if name in PRE_EMA_LADDERS and start_frac >= 0.05:
             (pre_img_s, pre_bare, pre_mb, pre_policy, pre_moe, pre_accum,
              pre_flow) = (
-                bench_stage(name, res, mask, PRE_EMA_LADDERS[name],
+                bench_stage(name, res, mask,
+                            trim(PRE_EMA_LADDERS[name], f"{name}-preema"),
                             timed_steps, use_ema=False)
             )
             img_s = 1.0 / (
@@ -746,43 +864,25 @@ def main():
             **detail,
             "schedule_steps": steps, "est_mfu": round(mfu, 3),
         }
+        if len(results) < len(stages):
+            emit_partial(f"stage {name} done")
 
-    if quick:
-        value = results["res256_mask75"]["img_per_sec_per_chip"]
-        metric = "MicroDiT-XL stage1 (256px mask0.75) recipe-step train images/sec/chip"
-    else:
-        total_images = sum(r["schedule_steps"] * 2048 for r in results.values())
-        total_time = sum(
-            r["schedule_steps"] * 2048 / r["img_per_sec_per_chip"]
-            for r in results.values()
-        )
-        value = total_images / total_time
-        metric = "MicroDiT-XL 4-stage schedule-weighted recipe-step train images/sec/chip"
-
-    out = {
-        "metric": metric,
-        "value": round(value, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
-        "detail": {
-            k: {kk: (round(vv, 2) if isinstance(vv, float) else vv)
-                for kk, vv in v.items()}
-            for k, v in results.items()
-        },
-        "baseline_img_per_sec_per_chip": BASELINE_IMG_PER_SEC_PER_CHIP,
-        "device": str(jax.devices()[0]),
-    }
     # Sampling legs (generate() throughput; VERDICT round-3 item 5). Off in
-    # quick mode and via MDT_BENCH_SAMPLING=0; failures never sink the
-    # training metric.
-    if not quick and os.environ.get("MDT_BENCH_SAMPLING", "1") != "0":
+    # quick mode, via MDT_BENCH_SAMPLING=0, and when the budget is nearly
+    # spent; failures never sink the training metric.
+    if (not quick and os.environ.get("MDT_BENCH_SAMPLING", "1") != "0"
+            and remaining() > 0.12 * budget):
         try:
-            sampling = bench_sampling(timed_runs=3)
-            if sampling:
-                out["detail"]["sampling"] = sampling
+            sampling.update(bench_sampling(timed_runs=3))
         except Exception as e:  # noqa: BLE001
             log(f"[sampling] legs failed: {str(e)[:160]}")
-    print(json.dumps(out))
+    elif not quick:
+        log(f"[sampling] skipped (budget: {remaining():.0f}s left)")
+
+    out = _build_out(results, quick, len(stages), sampling=sampling or None,
+                     partial=False)
+    snap["final_emitted"] = True
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -670,9 +670,85 @@ class HostComputeEMA:
         Device cost: one flatten (bf16 params copy) + the one-way D2H inside
         each decay; dispatches return immediately and overlap later-enqueued
         device work."""
-        dev_chunks = self._flatten(params)
-        self.chunks = [self._decay(e, p)
-                       for e, p in zip(self.chunks, dev_chunks)]
+        for run in self.begin_update(params):
+            run()
+
+    def _chunk_flatten_fns(self):
+        """Per-chunk flatten jits: chunk i's bf16 wire slice computed from
+        ONLY the param leaves overlapping [a_i, b_i) - so a lazily-staged
+        update never materializes the full 2.33GB (XL) bf16 params copy.
+        Built on first use (n_chunks small graphs)."""
+        if getattr(self, "_chunk_fns", None) is not None:
+            return self._chunk_fns
+        sizes = []
+        for shape in self._shapes:
+            n = 1
+            for d in shape:
+                n *= d
+            sizes.append(n)
+        fns = []
+        for a, b in self._bounds:
+            pieces, pos = [], 0
+            for li, n in enumerate(sizes):
+                lo, hi = max(a, pos), min(b, pos + n)
+                if lo < hi:
+                    pieces.append((li, lo - pos, hi - pos))
+                pos += n
+            def fn(tree, pieces=tuple(pieces)):
+                leaves = jax.tree_util.tree_leaves(tree)
+                return jnp.concatenate([
+                    jax.lax.slice(
+                        jnp.ravel(leaves[li]).astype(jnp.bfloat16), (s,), (e,)
+                    )
+                    for li, s, e in pieces
+                ])
+            fns.append(jax.jit(fn))
+        self._chunk_fns = fns
+        return fns
+
+    def begin_update(self, params: Any, lazy: bool = False):
+        """Stage one EMA update and return its per-chunk decay dispatches as a
+        list of thunks for the CALLER to interleave with other device work.
+
+        The round-4 recipe measurements showed 'never'-drain ~= drained
+        (23.05 vs 23.26 img/s, tune_results.jsonl): the N chunk-decay programs
+        enqueued back-to-back after the optimizer apply SERIALIZE on the
+        device stream, so the overlap the isolated probe demonstrated
+        (scripts/probe_hostcompute_ema.py probe 3) never materializes in-step.
+        This API lets the training loop dispatch ONE chunk decay between
+        successive grad-microbatch dispatches of the NEXT accumulation cycle,
+        giving the runtime compute to schedule around each one-way D2H
+        (VERDICT r4 next-round #4). Each thunk must run exactly once, in
+        order; update() is the run-them-all-now form.
+
+        ``lazy=True``: each thunk computes ITS chunk's bf16 wire slice at
+        dispatch time (per-chunk flatten jits) instead of staging the whole
+        flatten up front - required for interleaving at HBM-edge configs: the
+        eager flatten's full bf16 params copy (2.33GB for XL) staying
+        resident across the next cycle's grad peak is a measured
+        RESOURCE_EXHAUSTED at stage-4 mb8 (tune_results 2026-08-20), where
+        the one-chunk-at-a-time residency fits. The thunks snapshot the
+        params REFERENCE: with lazy staging the caller must dispatch every
+        thunk before donating/overwriting the params buffers (the dispatch
+        loop of the next cycle does exactly that)."""
+        if not lazy:
+            dev_chunks = self._flatten(params)
+
+            def make_thunk(i, p):
+                def run():
+                    self.chunks[i] = self._decay(self.chunks[i], p)
+                return run
+
+            return [make_thunk(i, p) for i, p in enumerate(dev_chunks)]
+
+        fns = self._chunk_flatten_fns()
+
+        def make_lazy_thunk(i, fn):
+            def run():
+                self.chunks[i] = self._decay(self.chunks[i], fn(params))
+            return run
+
+        return [make_lazy_thunk(i, fn) for i, fn in enumerate(fns)]
 
     def materialize(self) -> Any:
         """Reassemble the EMA pytree on device (for eval/checkpointing)."""

@@ -123,6 +123,61 @@ SCENARIOS = [
 GLOBAL_BATCH = 2048
 N_DEV = 8
 
+# ---- ICI communication model (VERDICT r4 next-round #7) --------------------
+# Published v5e ICI: 1600 Gbit/s aggregate per chip over 4 links of a 2D
+# torus = 4 x ~45 GB/s one-way per link (the scaling-book figure). A ring
+# reduce-scatter/all-gather on ONE torus axis uses the axis's two links in
+# opposite directions: algorithm bandwidth 2 x 45 GB/s per device.
+V5E_ICI_LINK_ONEWAY_BYTES_S = 45.0e9
+ICI_RING_BYTES_S = 2 * V5E_ICI_LINK_ONEWAY_BYTES_S
+
+# Measured per-microbatch GRAD-graph compute on the real chip (the overlap
+# budget each reduce-scatter must hide under). Provenance (PERF.md round 4):
+#   mask0: K-differencing the stage-4 legs (K=1 335 ms vs K=32 grad-only
+#     302 ms per mb8 step) -> ~37.75 ms/img; the scenario's mb16 graph is
+#     2x the mb8 one.
+#   mask75: the stage-3 mb32 K=8 recipe leg (69.8 img/s incl. apply):
+#     (256/69.8 - ~0.1s apply share) / 8 microbatches = ~0.446 s/microbatch.
+MEASURED_GRAD_MS_PER_IMG = {0.0: 37.75, 0.75: 0.446 * 1e3 / 32}
+
+
+def comm_model(mask_ratio, mb_per_dev, k, n_params):
+    """Per-optimizer-update ICI bytes and times for ZeRO-2 (SHARD_GRAD_OP):
+    each microbatch's fp32 grads reduce-scatter into the sharded accumulator
+    (K per update), and the updated params all-gather back to the replicated
+    layout after the apply. Ring collective cost on N devices: each device
+    moves (N-1)/N of the tensor bytes at the ring's algorithm bandwidth.
+    fp32 wire is the conservative choice (a bf16 grad wire would halve RS)."""
+    s_fp32 = 4 * n_params
+    frac = (N_DEV - 1) / N_DEV
+    rs_bytes_dev = frac * s_fp32          # per microbatch, per device
+    t_rs = rs_bytes_dev / ICI_RING_BYTES_S
+    t_ag = frac * s_fp32 / ICI_RING_BYTES_S  # once per update
+    t_grad_mb = MEASURED_GRAD_MS_PER_IMG[mask_ratio] * mb_per_dev / 1e3
+    # standard dispatch overlap: microbatch i's reduce-scatter rides behind
+    # microbatch i+1's grad compute, so RS is exposed only if it outruns the
+    # compute; the LAST microbatch's RS and the all-gather are the exposed
+    # tail either way.
+    rs_hidden = t_rs <= t_grad_mb
+    exposed = (t_rs + t_ag) if rs_hidden else (k * t_rs - (k - 1) * t_grad_mb
+                                               + t_ag)
+    serial = k * t_rs + t_ag
+    return {
+        "ici_model": "ring on one torus axis, 2 x 45 GB/s/device (v5e "
+                     "1600Gbps/chip over 4 links)",
+        "grad_wire_dtype": "float32 (conservative; bf16 wire would halve RS)",
+        "rs_bytes_per_microbatch_per_device_gib": round(rs_bytes_dev / GIB, 3),
+        "t_reduce_scatter_ms": round(t_rs * 1e3, 1),
+        "t_all_gather_ms": round(t_ag * 1e3, 1),
+        "t_grad_compute_per_microbatch_ms_measured": round(t_grad_mb * 1e3, 1),
+        "rs_hides_under_compute": bool(rs_hidden),
+        "exposed_comm_per_update_ms_overlapped": round(exposed * 1e3, 1),
+        "comm_per_update_ms_serial_worst_case": round(serial * 1e3, 1),
+        "compute_per_update_ms": round(t_grad_mb * k * 1e3, 1),
+        "overlapped_comm_overhead_pct": round(
+            100 * exposed / (t_grad_mb * k), 2),
+    }
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -235,6 +290,12 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
         f"{apply_ma.temp_size_in_bytes/GIB:.2f} GiB")
 
     peak = max(grad_peak_gib, apply_peak / GIB)
+    comm = comm_model(mask_ratio, mb_per_dev, k, n_params)
+    log(f"[{name}] comm: RS {comm['t_reduce_scatter_ms']}ms/microbatch "
+        f"(compute {comm['t_grad_compute_per_microbatch_ms_measured']}ms, "
+        f"hides={comm['rs_hides_under_compute']}), AG "
+        f"{comm['t_all_gather_ms']}ms/update -> overlapped overhead "
+        f"{comm['overlapped_comm_overhead_pct']}%")
     rec = {
         "scenario": name,
         "mesh": f"(data=1, fsdp={N_DEV}, tensor=1)",
@@ -258,6 +319,7 @@ def lower_scenario(name, mask_ratio, mb_per_dev, clip_norm):
         "fits": bool(peak < HBM_LIMIT_GIB),
         "headroom_gib": round(HBM_LIMIT_GIB - peak, 3),
         "apply_compile_s": round(t_apply, 1),
+        "comm_model": comm,
     }
     log(f"[{name}] grad phase {rec['grad_phase_peak_gib']} | apply "
         f"{rec['apply_graph_gib']} -> peak {rec['peak_per_device_gib']} "

@@ -26,7 +26,6 @@ Probes:
 
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -110,13 +109,15 @@ def main():
     chunks_e = [decay(e, p) for e, p in zip(chunks_e, chunks_p)]
     float(probe(to_dev(chunks_e[-1])))
 
+    drained_dt = 0.0
     for trial in range(3):
         t0 = time.time()
         chunks_e = [decay(e, p) for e, p in zip(chunks_e, chunks_p)]
         float(probe(to_dev(chunks_e[-1])))  # barrier (value fetch)
-        dt = time.time() - t0
+        drained_dt = time.time() - t0
         log(f"probe 2 trial {trial}: full-XL host-compute EMA update = "
-            f"{dt:.2f} s ({total*2/2**30/dt:.2f} GB/s effective one-way)")
+            f"{drained_dt:.2f} s ({total*2/2**30/drained_dt:.2f} GB/s "
+            "effective one-way)")
 
     # ---- probe 3: overlap with device compute ----
     m = 4096
@@ -149,9 +150,9 @@ def main():
     float(probe(to_dev(chunks_e[-1])))
     t_both = time.time() - t0
     log(f"probe 3: decay dispatches + device burn = {t_both:.2f} s "
-        f"(serial would be ~{t_burn + dt:.2f} s; overlap hides "
-        f"{max(0.0, t_burn + dt - t_both):.2f} s)")
-    log(f"SUMMARY: per-cycle EMA cost ~{dt:.2f}s drained, "
+        f"(serial would be ~{t_burn + drained_dt:.2f} s; overlap hides "
+        f"{max(0.0, t_burn + drained_dt - t_both):.2f} s)")
+    log(f"SUMMARY: per-cycle EMA cost ~{drained_dt:.2f}s drained, "
         f"~{max(0.0, t_both - t_burn):.2f}s effective next to compute")
     return 0
 

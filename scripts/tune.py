@@ -413,13 +413,29 @@ def run(args):
         # through the relay (~10^3 tensors erased the amortization win)
         zero_fn = jax.jit(lambda p: zero_grad_accumulator(p, acc_dtype))
 
+        # --ema-drain interleave (hostcompute only): stage the chunk decays
+        # with begin_update and dispatch ONE between successive grad
+        # dispatches of the NEXT cycle, so each one-way D2H rides the gaps
+        # instead of serializing after the apply (the measured
+        # 'never'~=drained failure, tune_results.jsonl 03:46/03:55 - the
+        # round-5 lever, VERDICT r4 #4)
+        interleave = offload_ema and args.ema_drain == "interleave"
+        pending = []
+
         def step_cycle(state):
             acc = zero_fn(state.params)
             r = jax.random.fold_in(rng, pystep[0])
             pystep[0] += 1
             for idx in range(args.accum):
                 acc = grad_fn(state.params, acc, mbatch, r, idx)
+                if pending:
+                    pending.pop(0)()  # one staged chunk decay rides this gap
+            while pending:
+                pending.pop(0)()
             state, metrics = apply_fn(state, acc, args.accum)
+            if interleave:
+                pending.extend(host_ema_obj.begin_update(state.params, lazy=True))
+                return state, metrics
             if offload_ema:
                 if args.ema_drain == "always":
                     # Drain in-flight grad/apply executions BEFORE enqueueing
@@ -576,7 +592,8 @@ def main():
     p.add_argument("--ema-interval", type=int, default=1, dest="ema_interval",
                    help="EMA update every k steps (recipe-faithful cadence "
                    "for K=1 fallback legs is 256/mb)")
-    p.add_argument("--ema-drain", default="always", choices=["always", "never"],
+    p.add_argument("--ema-drain", default="always",
+                   choices=["always", "never", "interleave"],
                    dest="ema_drain",
                    help="offload mode only: drain in-flight executions before "
                    "enqueueing the EMA host round-trip (required at tight-HBM "

@@ -26,3 +26,9 @@ def test_xl_zero2_fits_per_device_hbm():
         assert rec["resident_per_device_gib"] < 8.0, rec
         # params replicated (SHARD_GRAD_OP parity), not fsdp-sharded
         assert rec["resident_detail_gib"]["params_replicated"] > 4.0, rec
+        # ICI comm model (VERDICT r4 #7): each microbatch's fp32 grad
+        # reduce-scatter must hide under the measured grad compute, leaving
+        # only the last-RS + all-gather tail exposed per update
+        comm = rec["comm_model"]
+        assert comm["rs_hides_under_compute"], comm
+        assert comm["overlapped_comm_overhead_pct"] < 5.0, comm

@@ -202,9 +202,14 @@ def test_hostcompute_ema_matches_fp32_decay():
     compute_on('device_host') - the third EMA placement of the round-4
     stage-4 ledger) must match the exact fp32 decay chain with bf16-rounded
     params contributions across chunk boundaries, and reassemble the tree.
-    offload=False runs the identical chunk/decay math in device memory with
-    no host annotation - the CPU-testable mode; the pinned-host host-compute
-    mode is exercised on real TPU by scripts/probe_hostcompute_ema.py."""
+    The INIT copy also rides the bf16 flatten wire (a deliberate memory fix:
+    a full-fp32 device flatten would materialize a second 4.3GiB fp32 tree
+    next to the live train state - see HostComputeEMA.__init__), so the
+    reference chain starts from bf16_round(params), unlike AsyncHostEMA's
+    exact-fp32 init. offload=False runs the identical chunk/decay math in
+    device memory with no host annotation - the CPU-testable mode; the
+    pinned-host host-compute mode is exercised on real TPU by
+    scripts/probe_hostcompute_ema.py."""
     from micro_diffusion_tpu.train import HostComputeEMA
 
     params = {"a": jnp.linspace(0.0, 3.0, 32, dtype=jnp.float32).reshape(8, 4),
@@ -223,7 +228,7 @@ def test_hostcompute_ema_matches_fp32_decay():
         return jax.tree.map(
             lambda p: p.astype(jnp.bfloat16).astype(jnp.float32), t)
 
-    ref = params  # init: ema = params, exact fp32
+    ref = bf16_round(params)  # init rides the same bf16 wire as updates
     for p in (bf16_round(p1), bf16_round(p2)):
         ref = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q, ref, p)
     for k_got, k_ref in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
@@ -232,6 +237,52 @@ def test_hostcompute_ema_matches_fp32_decay():
             np.asarray(k_got, np.float32), np.asarray(k_ref), rtol=1e-6,
             atol=1e-6)
     assert np.isfinite(ema.block())
+
+
+def test_hostcompute_ema_begin_update_interleaved_matches_update():
+    """begin_update (the round-5 interleave API: per-chunk decay thunks the
+    caller dispatches between grad dispatches) must be bit-identical to
+    update() run-all-now, including thunks executed across interleaved other
+    device work and across a staged SECOND update whose flatten snapshots the
+    newer params."""
+    from micro_diffusion_tpu.train import HostComputeEMA
+
+    params = {"a": jnp.linspace(0.0, 3.0, 32, dtype=jnp.float32).reshape(8, 4),
+              "b": jnp.arange(6, dtype=jnp.float32)}
+    p1 = jax.tree.map(lambda p: p * 2.0, params)
+    p2 = jax.tree.map(lambda p: p - 1.0, params)
+
+    ema_a = HostComputeEMA(params, smoothing=0.9, offload=False, chunk_bytes=32)
+    ema_a.update(p1)
+    ema_a.update(p2)
+
+    ema_b = HostComputeEMA(params, smoothing=0.9, offload=False, chunk_bytes=32)
+    thunks = ema_b.begin_update(p1)
+    assert len(thunks) == len(ema_b.chunks) > 1
+    other = jax.jit(lambda x: x * 3.0)
+    for t in thunks:
+        other(params["a"])  # unrelated device work between decays
+        t()
+    for t in ema_b.begin_update(p2):  # staged against post-"apply" params
+        t()
+
+    for a, b in zip(jax.tree.leaves(ema_a.materialize()),
+                    jax.tree.leaves(ema_b.materialize())):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+    # lazy=True (per-chunk flatten at dispatch time - the HBM-edge staging:
+    # the eager full-flatten residency is a measured OOM at stage-4 mb8):
+    # same bit-exact result through the same interleaving
+    ema_c = HostComputeEMA(params, smoothing=0.9, offload=False, chunk_bytes=32)
+    for upd in (p1, p2):
+        for t in ema_c.begin_update(upd, lazy=True):
+            other(params["a"])
+            t()
+    for a, c in zip(jax.tree.leaves(ema_a.materialize()),
+                    jax.tree.leaves(ema_c.materialize())):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(c, np.float32))
 
 
 def test_async_host_ema_matches_fp32_decay():
@@ -519,6 +570,184 @@ def test_bench_host_ema_fallback_to_instep(monkeypatch):
     assert calls["n"] == 2  # failed host-EMA leg, then the in-step retry
     assert accum == "k1_instep_ema"
     assert recipe_img_s == bare_img_s and np.isfinite(recipe_img_s)
+
+
+def _micro_trainer(tmp_path, ema, accum_mode="scan", n_batches=6, batch=8,
+                   microbatch=None, save_folder=None):
+    """A Trainer over the micro model with an in-memory batch list (the
+    Trainer only needs an iterable); used by the EMA-placement tests."""
+    from micro_diffusion_tpu.train.trainer import Trainer
+
+    batches = [make_batch(batch) for _ in range(n_batches)]
+    return Trainer(
+        model=micro_model(train_mask_ratio=0.0),
+        optimizer={"lr": 1e-3, "weight_decay": 0.1},
+        schedulers={"_target_": "composer.optim.ConstantScheduler", "alpha": 1.0},
+        train_dataloader=batches,
+        max_duration=f"{n_batches}ba",
+        device_train_microbatch_size=microbatch,
+        seed=0,
+        ema=ema,
+        accum_mode=accum_mode,
+        save_folder=save_folder,
+        save_interval=f"{n_batches}ba" if save_folder else 0,
+    )
+
+
+def test_ema_placement_host_cadence_matches_in_state(tmp_path):
+    """EMA placement 'host_cadence' (decay as its OWN host-dispatched graph -
+    the stage-4 single-chip lead config, PERF.md §2) must produce the exact
+    same params AND EMA as the in-graph 'in_state' placement when the cadence
+    coincides (interval 1, start 0): same fp32 decay math (optim.ema_update),
+    same post-update params, only the dispatch boundary differs. This is the
+    plumbing that makes train.py run what bench.py measures (VERDICT r4
+    missing #4)."""
+    ema_base = {"smoothing": 0.95, "ema_start": 0, "update_interval": 1,
+                "dtype": "bfloat16"}
+    tr_a = _micro_trainer(tmp_path, dict(ema_base, placement="in_state"))
+    tr_b = _micro_trainer(tmp_path, dict(ema_base, placement="host_cadence"))
+    assert tr_b._ema_decay_fn is not None and tr_b._step_fn is not None
+    tr_a.fit()
+    tr_b.fit()
+    for a, b in zip(jax.tree.leaves(tr_a.state.params),
+                    jax.tree.leaves(tr_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr_a.state.ema_params),
+                    jax.tree.leaves(tr_b.state.ema_params)):
+        assert b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6)
+
+
+def test_ema_placement_host_cadence_interval_and_start(tmp_path):
+    """host_cadence with interval k and a late start: mirrors at interval
+    cadence pre-start, decays at interval cadence post-start, both against
+    post-update params - verified against a manual reconstruction."""
+    ema = {"smoothing": 0.9, "ema_start": 2, "update_interval": 2,
+           "placement": "host_cadence"}
+    tr = _micro_trainer(tmp_path, ema, n_batches=6)
+    rng = jax.random.PRNGKey(tr.seed)
+    params_hist = []
+    for step, batch in enumerate(tr.train_loader):
+        batch = tr._stage_batch(batch)
+        tr.state, _ = tr._train_one_batch(batch, rng)
+        tr._maybe_host_ema(step)
+        params_hist.append(jax.tree.map(np.asarray, tr.state.params))
+
+    ema_ref = None
+    for step, p in enumerate(params_hist):
+        if step % 2 != 0:
+            continue
+        if step < 2:
+            ema_ref = p  # mirror
+        else:
+            ema_ref = jax.tree.map(
+                lambda e, q: 0.9 * e + 0.1 * q, ema_ref, p)
+    for got, want in zip(jax.tree.leaves(tr.state.ema_params),
+                         jax.tree.leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_ema_placement_hostcompute_trainer(tmp_path):
+    """EMA placement 'hostcompute' through the Trainer: chunks created at the
+    first post-start update (mirror via the bf16 wire), decayed per interval
+    against post-update params, materialized for eval_params() and saved into
+    the checkpoint; resume rebuilds the chunks. CPU runs offload=False (the
+    identical math without the pinned-host annotation - train_step docs)."""
+    ema = {"smoothing": 0.9, "ema_start": 0, "update_interval": 1,
+           "placement": "hostcompute"}
+    sf = str(tmp_path / "hc_ckpts")
+    tr = _micro_trainer(tmp_path, ema, n_batches=3, save_folder=sf)
+    assert tr.state.ema_params is None  # EMA lives off-state
+    rng = jax.random.PRNGKey(tr.seed)
+    params_hist = []
+    for step, batch in enumerate(tr.train_loader):
+        batch = tr._stage_batch(batch)
+        tr.state, _ = tr._train_one_batch(batch, rng)
+        tr._maybe_host_ema(step)
+        tr._py_step = step + 1
+        params_hist.append(jax.tree.map(np.asarray, tr.state.params))
+    assert tr._hc_ema is not None
+
+    def bf16(t):
+        return jax.tree.map(
+            lambda p: np.asarray(jnp.asarray(p, jnp.bfloat16), np.float32), t)
+
+    ema_ref = bf16(params_hist[0])  # init rides the bf16 wire
+    for p in params_hist[1:]:
+        ema_ref = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q,
+                               ema_ref, bf16(p))
+    got = tr.eval_params()
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(ema_ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+
+    # checkpoint carries the materialized EMA; resume rebuilds the chunks
+    # (restore rides the bf16 wire: the SAVED values re-round to bf16 - the
+    # reference tree is bf16(got), not bf16(ema_ref): got and ema_ref differ
+    # by fp32 ulps that can round to different bf16 values)
+    saved = jax.tree.map(np.asarray, got)
+    tr.save()
+    tr2 = _micro_trainer(tmp_path, ema, n_batches=3, save_folder=sf)
+    tr2.load_orbax_step(tr2._ckpt_mgr.latest_step())
+    assert tr2._hc_ema is not None
+    assert tr2.global_step == 3  # post-init load refreshes the host step
+    for g, w in zip(jax.tree.leaves(tr2.eval_params()),
+                    jax.tree.leaves(bf16(saved))):
+        np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_bench_partial_emission_protocol(monkeypatch, capsys):
+    """Driver-survivability (round-5): bench.main() prints a valid partial
+    JSON line after every completed stage (weighted over measured stages,
+    flagged partial with the coverage in the metric name) and the final line
+    unflagged - so a driver timeout mid-ladder still yields the weighted
+    metric over what ran (BENCH_r04.json lost everything to rc=124)."""
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import bench
+
+    def fake_stage(name, latent_res, mask_ratio, ladder, timed_steps,
+                   use_ema=True):
+        rate = {"res256_mask75": 230.0, "res256_mask0": 105.0,
+                "res512_mask75": 69.0, "res512_mask0": 24.0}[name]
+        if not use_ema:  # pre-EMA phase leg of res512_mask75
+            rate += 1.0
+        return rate, rate, 8, "attn_moe", "onehot", "test", "fp32"
+
+    monkeypatch.setattr(bench, "bench_stage", fake_stage)
+    monkeypatch.setattr(bench, "bench_sampling", lambda timed_runs=3: {})
+    monkeypatch.setenv("MDT_BENCH_SAMPLING", "0")
+    monkeypatch.delenv("MDT_BENCH_QUICK", raising=False)
+    monkeypatch.delenv("MDT_BENCH_STAGES", raising=False)
+    bench.main()
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    parsed = [json.loads(l) for l in lines]
+    assert len(parsed) == 4  # 3 partials + 1 final
+    for i, p in enumerate(parsed[:-1]):
+        assert p["partial"] is True
+        assert f"PARTIAL: {i + 1}/4" in p["metric"]
+        assert len(p["detail"]) == i + 1
+        assert p["value"] > 0 and p["vs_baseline"] > 0
+    final = parsed[-1]
+    assert "partial" not in final
+    assert "PARTIAL" not in final["metric"]
+    assert len(final["detail"]) == 4
+    # weighted harmonic over the 4 canned stages with the schedule weights
+    weights = {n: s for n, _, _, s, _ in bench.STAGES}
+    # res512_mask75 combines pre-EMA (70.0 at frac 0.5) and EMA (69.0) phases
+    combined = 1.0 / (0.5 / 70.0 + 0.5 / 69.0)
+    rates = {"res256_mask75": 230.0, "res256_mask0": 105.0,
+             "res512_mask75": combined, "res512_mask0": 24.0}
+    tot_img = sum(weights[n] * 2048 for n in rates)
+    tot_t = sum(weights[n] * 2048 / rates[n] for n in rates)
+    np.testing.assert_allclose(final["value"], tot_img / tot_t, rtol=1e-2)
 
 
 def test_sharded_train_step_8_devices():
