@@ -200,7 +200,13 @@ STAGES = [
      # true-cadence leg can at best TIE the K=1 approximation (PERF.md round
      # 4). Multi-chip ZeRO-2 fits in-state fp32 EMA + accumulator at 13.4
      # GiB/device (MULTICHIP_CAPACITY.json) and runs the true recipe.
+     # Round-5: the interleaved HostComputeEMA leg (lazy per-chunk staging)
+     # measured 23.48 - the best TRUE-cadence leg, still behind the K=1 lead
+     # (23.9): the decay D2H executes on the device stream wherever it is
+     # dispatched, so the ledger is closed as roofline (PERF.md round 5).
+     # It is the first fallback; the offload round-trip rungs follow.
      (("attn_moe", 8, "onehot", "none"),
+      ("attn_moe", 8, "onehot", "hostcompute_interleave"),
       ("attn_moe", 8, "onehot", "offload"),
       ("attn_moe", 8, "onehot", "offload_drain"),
       ("attn_moe", 8, "hybrid", "none"),

@@ -265,7 +265,11 @@ class Trainer:
                     ),
                 ),
                 static_argnums=(2,),
-                donate_argnums=(0,),
+                # donate the accumulator too (consumed by the apply): keeping
+                # its 2.33GB (bf16, XL) alive as a read-only input denies XLA
+                # that space for optimizer temps - measured runtime
+                # RESOURCE_EXHAUSTED at stage-3 mb32 K=8 (bench, 2026-08-18)
+                donate_argnums=(0, 1),
             )
         self._step_fn = jax.jit(
             make_train_step(
@@ -631,6 +635,22 @@ class Trainer:
             self.data_wait_s += time.perf_counter() - t0
             yield batch
 
+    def _stage_next(self, batches) -> Any:
+        """Pull + stage the next batch, or None at loader exhaustion. Called
+        right AFTER dispatching a step so the host->device transfer of batch
+        i+1 overlaps step i's device execution (double-buffering). Staging
+        immediately before the consuming step instead serializes the full
+        batch transfer into every cycle - measured on the real chip at
+        stage-3 512px: 5.55 s/step (46 img/s) vs the 3.7 s compute (69 img/s
+        benched with resident batches); the ~48 MB fp16 batch crosses this
+        deployment's client tunnel at ~0.026 GB/s (= the whole 1.86 s gap).
+        On a co-located host the same overlap hides PCIe transfer time."""
+        try:
+            batch = next(batches)
+        except StopIteration:
+            return None
+        return self._stage_batch(batch)
+
     def fit(self) -> None:
         for cb in self.callbacks:
             cb.fit_start(self)
@@ -647,16 +667,21 @@ class Trainer:
 
         while self.global_step < self.max_steps:
             made_progress = False
-            for batch in self._timed_batches():
+            batches = self._timed_batches()
+            staged = self._stage_next(batches)
+            while staged is not None:
                 made_progress = True
                 step = self.global_step
                 if step >= self.max_steps:
                     break
-                batch = self._stage_batch(batch)
+                batch = staged
                 self.state, metrics = self._train_one_batch(batch, rng)
                 self._maybe_host_ema(step)
                 self._py_step = step + 1
                 pending_metrics = metrics
+                # prefetch: enqueue the NEXT batch's transfer while the
+                # dispatched step executes (see _stage_next)
+                staged = self._stage_next(batches)
 
                 next_step = step + 1
                 if next_step % self.metric_window == 0 or next_step >= self.max_steps:

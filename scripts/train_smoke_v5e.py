@@ -164,6 +164,10 @@ def main(argv=None):
         "trainer.save_interval=0",
         "trainer.save_folder=null",      # no checkpoint manager at all
         "trainer.autoresume=false",
+        "trainer.load_path=null",        # 512px stages chain from a prior
+        # stage's checkpoint (base recipe load_path); the smoke trains the
+        # stage standalone from init
+        "trainer.load_ignore_keys=null",
         "exp_name=v5e_smoke",
         # SpeedMonitor output -> parseable JSONL (base.yaml logs to TB only)
         "logger.progress._target_="

@@ -33,7 +33,8 @@ echo "[warm_cache] compiling bench lead rungs for: ${STAGES}" >&2
 MDT_BENCH_STEPS=1 \
 MDT_BENCH_SAMPLING="${WARM_SAMPLING:-1}" \
 MDT_BENCH_STAGES="${STAGES}" \
-python bench.py >/dev/null
+MDT_BENCH_BUDGET_S=86400 \
+python bench.py >/dev/null  # huge budget: the warm pass must never trim rungs
 rc=$?
 echo "[warm_cache] bench warm pass exit ${rc}; cache contents:" >&2
 du -sh "${HOME}/.cache/mdt_jax_cache" 2>/dev/null >&2 || true

@@ -234,6 +234,40 @@ def test_ema_stage_transition(tmp_path, dataset_dir):
     assert steps[-1] == 4
 
 
+def test_ema_placement_yaml_plumbing(tmp_path, dataset_dir):
+    """algorithms.ema.placement flows from yaml through train.py to the
+    Trainer (the key the v5e stage-4 overlay uses for its measured
+    host-cadence lead config): training completes, the checkpoint carries an
+    ema_params tree, and the trainer used the host-cadence dispatch path."""
+    import yaml as _yaml
+
+    cfg_path = make_config(tmp_path, dataset_dir, "hostcad", max_duration="4ba",
+                           eval_interval=0, save_interval="4ba")
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["algorithms"]["ema"] = {
+        "_target_": "diffusion.algorithms.ema.EMA",
+        "smoothing": 0.9, "ema_start": "0ba", "update_interval": "2ba",
+        "placement": "host_cadence", "dtype": "bfloat16",
+    }
+    _yaml.safe_dump(cfg, open(cfg_path, "w"))
+    train_main(["--config-path", str(tmp_path), "--config-name", "hostcad"])
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(str(tmp_path / "hostcad" / "ckpts"))
+    assert mgr.latest_step() == 4
+    restored = mgr.restore(4)
+    ema = restored["state"]["ema_params"]
+    params = restored["state"]["params"]
+    # the bf16 EMA tree exists and tracked the params (decayed, not the init)
+    leaves_e = [np.asarray(l, np.float32) for l in
+                __import__("jax").tree.leaves(ema)]
+    leaves_p = [np.asarray(l, np.float32) for l in
+                __import__("jax").tree.leaves(params)]
+    assert len(leaves_e) == len(leaves_p)
+    assert any(np.any(e != 0) for e in leaves_e)
+
+
 def test_dispatch_accum_mode(tmp_path, dataset_dir):
     """accum_mode=dispatch trains end-to-end (k grad dispatches + apply per batch)
     and checkpoints at the same cadence as the fused-scan path."""
