@@ -137,29 +137,43 @@ def make_train_step(
             if param_flow_dtype is not None else state.params
         )
 
-        def micro_step(acc, inp):
-            idx, mb = inp
-            loss, grads = grad_fn(flow_params, jax.random.fold_in(rng, idx), mb)
-            acc_loss, acc_grads = acc
-            return (
-                acc_loss + loss,
-                _constrain(jax.tree.map(
-                    lambda a, g: a + g.astype(accum_dtype), acc_grads, grads
-                )),
-            ), None
+        if n == 1:
+            # Single-microbatch fast path: no scan, no params-sized zero
+            # accumulator carry (fp32 = 4.66GB for XL) in the graph - real
+            # HBM pressure for the K=1 configs at the 16GB edge (the stage-4
+            # lead family). Numerics identical to the scan below: same rng
+            # fold (idx 0), same accum_dtype round-trip of the grads, same
+            # fp32 mean math.
+            mb = jax.tree.map(lambda x: x[0], micro)
+            loss, grads = grad_fn(flow_params, jax.random.fold_in(rng, 0), mb)
+            grads = _constrain(jax.tree.map(
+                lambda g: g.astype(accum_dtype).astype(jnp.float32), grads
+            ))
+        else:
+            def micro_step(acc, inp):
+                idx, mb = inp
+                loss, grads = grad_fn(
+                    flow_params, jax.random.fold_in(rng, idx), mb)
+                acc_loss, acc_grads = acc
+                return (
+                    acc_loss + loss,
+                    _constrain(jax.tree.map(
+                        lambda a, g: a + g.astype(accum_dtype), acc_grads, grads
+                    )),
+                ), None
 
-        zero_grads = _constrain(jax.tree.map(
-            lambda p: jnp.zeros(p.shape, accum_dtype), state.params
-        ))
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            micro_step,
-            (jnp.zeros((), jnp.float32), zero_grads),
-            (jnp.arange(n), micro),
-        )
-        loss = loss_sum / n
-        grads = _constrain(
-            jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
-        )
+            zero_grads = _constrain(jax.tree.map(
+                lambda p: jnp.zeros(p.shape, accum_dtype), state.params
+            ))
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                micro_step,
+                (jnp.zeros((), jnp.float32), zero_grads),
+                (jnp.arange(n), micro),
+            )
+            loss = loss_sum / n
+            grads = _constrain(
+                jax.tree.map(lambda g: g.astype(jnp.float32) / n, grad_sum)
+            )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

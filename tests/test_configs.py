@@ -63,8 +63,11 @@ def test_single_chip_overlays_are_complete(stage):
         assert ema["dtype"] == "bfloat16"
         assert ema.get("placement", "in_state") == "in_state"
     elif stage == "res_512_finetune":
-        assert batch == mb == 8  # K=1 + host-cadence EMA lead
-        assert ema["placement"] == "host_cadence"
+        # K=1 + hostcompute EMA: 23.50 img/s measured through train.py with
+        # ~2.3GB headroom (host_cadence's resident-EMA lead is service-epoch
+        # fragile at its <100MB margin - overlay comment)
+        assert batch == mb == 8
+        assert ema["placement"] == "hostcompute"
         # one EMA per 256 per-rank images = the reference's per-update cadence
         assert int(str(ema["update_interval"]).rstrip("ba")) * mb == 256
     else:
