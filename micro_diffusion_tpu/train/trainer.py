@@ -412,11 +412,13 @@ class Trainer:
             return  # already saved at this step (interval save == final save)
         import orbax.checkpoint as ocp
 
-        loader_state = (
-            self.train_loader.state_dict()
-            if hasattr(self.train_loader, "state_dict")
-            else {}
-        )
+        loader_state = getattr(self, "_save_loader_state", None)
+        if loader_state is None:
+            loader_state = (
+                self.train_loader.state_dict()
+                if hasattr(self.train_loader, "state_dict")
+                else {}
+            )
         self._ckpt_mgr.save(
             self.global_step,
             args=ocp.args.Composite(
@@ -572,12 +574,20 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         total, count = 0.0, 0
         loader = self.eval_loader
-        for i, batch in enumerate(self._one_eval_epoch(loader)):
+        params = self.eval_params()
+        it = enumerate(self._one_eval_epoch(loader))
+        pending = None  # dispatched loss whose value fetch is deferred one
+        # batch, so the next batch's H2D rides the running eval step (same
+        # double-buffering as the train loop's _stage_next)
+        for i, batch in it:
             batch = self._stage_batch(batch)
-            loss = self._eval_fn(
-                self.eval_params(), batch, jax.random.fold_in(rng, i)
-            )
-            total += float(loss)
+            loss = self._eval_fn(params, batch, jax.random.fold_in(rng, i))
+            if pending is not None:
+                total += float(pending)
+                count += 1
+            pending = loss
+        if pending is not None:
+            total += float(pending)
             count += 1
         if count == 0:
             return None
@@ -645,6 +655,14 @@ class Trainer:
         benched with resident batches); the ~48 MB fp16 batch crosses this
         deployment's client tunnel at ~0.026 GB/s (= the whole 1.86 s gap).
         On a co-located host the same overlap hides PCIe transfer time."""
+        # Snapshot the loader position BEFORE pulling the prefetch batch: the
+        # pull marks batch i+1 consumed in the loader, but the trainer hasn't
+        # trained on it - a checkpoint written after step i must record the
+        # pre-pull position or resume would skip the staged batch.
+        self._save_loader_state = (
+            self.train_loader.state_dict()
+            if hasattr(self.train_loader, "state_dict") else {}
+        )
         try:
             batch = next(batches)
         except StopIteration:

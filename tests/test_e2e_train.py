@@ -286,6 +286,27 @@ def test_dispatch_accum_mode(tmp_path, dataset_dir):
     assert losses and all(np.isfinite(l) for l in losses)
 
 
+def test_prefetch_does_not_skip_batches_on_resume(tmp_path, dataset_dir):
+    """The trainer prefetches batch i+1 while step i runs (H2D
+    double-buffering); a checkpoint written after step i must record the
+    loader position as of batch i, NOT the staged-but-untrained batch -
+    otherwise resume silently skips one batch per restart."""
+    make_config(tmp_path, dataset_dir, "pfres", max_duration="2ba",
+                eval_interval=0, save_interval="2ba")
+    train_main(["--config-path", str(tmp_path), "--config-name", "pfres"])
+
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(str(tmp_path / "pfres" / "ckpts"))
+    restored = mgr.restore(2)
+    loader_state = restored["loader"]
+    # batch 16 over 64 samples = 4 steps/epoch; after TRAINING 2 batches the
+    # consumed position is step_in_epoch=2 even though batch 3 was already
+    # staged on device when the checkpoint was written
+    assert loader_state["step_in_epoch"] == 2, loader_state
+    assert loader_state["epoch"] == 0, loader_state
+
+
 def test_v5e_smoke_script_plumbing(tmp_path):
     """scripts/train_smoke_v5e.py (the on-chip recipe-throughput check, VERDICT
     round-2 weak #4) runs its full chain on CPU at debug scale: synthetic MDS
