@@ -567,17 +567,17 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
         lambda p: zero_grad_accumulator(p, jnp.bfloat16)
     )
     mbatch = _make_batch(mb, latent_res)
-    pending = []  # staged chunk-decay thunks from the previous cycle's EMA
+    staged = [None]  # previous cycle's StagedEMAUpdate (interleave mode)
 
     def cycle(state, i):
         acc = zero_fn(state.params)
         r = jax.random.fold_in(rng, i)
         for idx in range(k_recipe):
             acc = grad_fn(state.params, acc, mbatch, r, idx)
-            if pending:
-                pending.pop(0)()  # one chunk decay rides this gap
-        while pending:  # leftovers if n_chunks > k_recipe
-            pending.pop(0)()
+            if staged[0] is not None:
+                staged[0].tick()  # one chunk decay rides this gap
+        if staged[0] is not None:
+            staged[0].drain()  # leftovers before the donating apply
         state, m = apply_fn(state, acc, k_recipe)
         if host_ema is not None:
             if ema_drain:
@@ -590,7 +590,7 @@ def _time_dispatch_recipe(model, tx, sched, state, mb, k_recipe, latent_res,
             # recipe cadence: one EMA update per optimizer update, against
             # the POST-update params (reference update_interval 1ba)
             if ema_interleave:
-                pending.extend(host_ema.begin_update(state.params, lazy=True))
+                staged[0] = host_ema.stage_update(state.params, lazy=True)
             else:
                 host_ema.update(state.params)
         return state, m
@@ -790,26 +790,36 @@ def main():
     sampling = {}
     snap = {"final_emitted": False}
 
-    def emit_partial(reason):
+    def emit_partial(reason, from_signal=False):
         """Print the current partial result line (driver-survivability: a
         timeout/kill mid-run must still yield the weighted metric over the
-        stages measured so far - BENCH_r04.json lost everything to rc=124)."""
+        stages measured so far - BENCH_r04.json lost everything to rc=124).
+        Signal path writes with os.write (async-signal-safe): a SIGTERM
+        landing mid-print would otherwise die on the reentrant
+        BufferedWriter and lose the line entirely."""
         if snap["final_emitted"]:
             return
         out = _build_out(results, quick, len(stages),
                          sampling=sampling or None, partial=True)
         if out is None:
             return
-        log(f"[bench] emitting partial result ({reason}): "
-            f"{len(results)}/{len(stages)} stages")
-        print(json.dumps(out), flush=True)
+        line = json.dumps(out) + "\n"
+        if from_signal:
+            os.write(2, f"[bench] partial emit ({reason})\n".encode())
+            os.write(1, line.encode())
+        else:
+            log(f"[bench] emitting partial result ({reason}): "
+                f"{len(results)}/{len(stages)} stages")
+            print(line, end="", flush=True)
 
     def on_sigterm(signum, frame):  # noqa: ARG001
-        emit_partial(f"signal {signum}")
+        emit_partial(f"signal {signum}", from_signal=True)
         os._exit(0)
 
-    signal.signal(signal.SIGTERM, on_sigterm)
-    signal.signal(signal.SIGINT, on_sigterm)
+    prev_handlers = {
+        s: signal.signal(s, on_sigterm)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
     atexit.register(lambda: emit_partial("atexit"))
 
     def remaining():
@@ -888,6 +898,10 @@ def main():
     out = _build_out(results, quick, len(stages), sampling=sampling or None,
                      partial=False)
     snap["final_emitted"] = True
+    # restore pre-existing handlers: in-process callers (tests) must not be
+    # left with a handler that os._exit(0)s their interpreter on Ctrl+C
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     print(json.dumps(out), flush=True)
 
 

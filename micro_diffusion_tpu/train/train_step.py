@@ -764,15 +764,105 @@ class HostComputeEMA:
 
         return [make_lazy_thunk(i, fn) for i, fn in enumerate(fns)]
 
+    def stage_update(self, params: Any, lazy: bool = False) -> "StagedEMAUpdate":
+        """begin_update wrapped in the one-object interleave protocol: call
+        ``tick()`` once after each grad dispatch of the next cycle and
+        ``drain()`` before the cycle's (donating) apply. Keeps the
+        must-run-every-thunk-in-order-before-donation invariant in ONE place
+        instead of copy-pasted driver loops (round-5 review finding)."""
+        return StagedEMAUpdate(self.begin_update(params, lazy=lazy))
+
+    def _split_plan(self):
+        """Per-chunk piece map: chunk k covers [(leaf_idx, lo, hi, whole)]
+        where [lo, hi) indexes INTO the chunk and ``whole`` marks a leaf
+        fully contained in it (the common case: 768MB chunks vs <=24MB
+        leaves; only boundary leaves split)."""
+        if getattr(self, "_plan", None) is not None:
+            return self._plan
+        sizes = []
+        for shape in self._shapes:
+            n = 1
+            for d in shape:
+                n *= d
+            sizes.append(n)
+        plan = [[] for _ in self._bounds]
+        pos = 0
+        for li, n in enumerate(sizes):
+            start, end = pos, pos + n
+            for k, (a, b) in enumerate(self._bounds):
+                lo, hi = max(start, a), min(end, b)
+                if lo < hi:
+                    plan[k].append((li, lo - a, hi - a, hi - lo == n))
+            pos = end
+        self._plan = plan
+        return plan
+
+    def _split_fns(self):
+        """One jit per chunk: chunk -> tuple of leaf pieces, whole leaves
+        already reshaped to their final shape/dtype. Donating the chunk input
+        bounds the device transient to ~one chunk + the produced leaves."""
+        if getattr(self, "_splitters", None) is not None:
+            return self._splitters
+        plan = self._split_plan()
+        fns = []
+        for k, entries in enumerate(plan):
+            def fn(c, entries=tuple(entries)):
+                out = []
+                for li, lo, hi, whole in entries:
+                    piece = jax.lax.slice(c, (lo,), (hi,))
+                    if whole:
+                        piece = piece.reshape(self._shapes[li]).astype(
+                            self._dtypes[li])
+                    out.append(piece)
+                return tuple(out)
+            fns.append(jax.jit(fn, donate_argnums=(0,)))
+        self._splitters = fns
+        return fns
+
     def materialize(self) -> Any:
-        """Reassemble the EMA pytree on device (for eval/checkpointing)."""
-        flat = jnp.concatenate([self._to_dev(c) for c in self.chunks])
+        """Reassemble the EMA pytree on device (for eval).
+
+        Streams ONE chunk to device at a time and splits it into final
+        leaves with a per-chunk jit - peak device transient ~= the output
+        tree + one chunk (~5.4GB for XL), where the naive concat-then-slice
+        form peaks at 2x the tree (9.3GB) and OOMs next to the resident
+        train state on the shipped single-chip stage-4 config (round-5
+        review finding). Boundary-spanning leaves (at most n_chunks-1 of
+        them) are stitched eagerly."""
+        plan = self._split_plan()
+        fns = self._split_fns()
+        leaves = [None] * len(self._shapes)
+        partial = {}
+        for k in range(len(self._bounds)):
+            if not plan[k]:
+                continue
+            pieces = fns[k](self._to_dev(self.chunks[k]))
+            for (li, _lo, _hi, whole), piece in zip(plan[k], pieces):
+                if whole:
+                    leaves[li] = piece
+                else:
+                    partial.setdefault(li, []).append(piece)
+        for li, parts in partial.items():
+            flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            leaves[li] = flat.reshape(self._shapes[li]).astype(
+                self._dtypes[li])
+        return jax.tree_util.tree_unflatten(self._treedef, leaves)
+
+    def materialize_numpy(self) -> Any:
+        """Reassemble the EMA pytree as host numpy (for checkpointing): one
+        chunk fetched at a time, zero params-sized device transients."""
+        import numpy as np
+
+        flat = np.empty((self.total_elems,), np.float32)
+        for (a, b), c in zip(self._bounds, self.chunks):
+            arr = np.asarray(self._to_dev(c), np.float32)
+            flat[a:a + arr.shape[0]] = arr
         out, pos = [], 0
         for shape, dt in zip(self._shapes, self._dtypes):
             n = 1
             for d in shape:
                 n *= d
-            out.append(flat[pos:pos + n].reshape(shape).astype(dt))
+            out.append(flat[pos:pos + n].reshape(shape).astype(np.dtype(dt)))
             pos += n
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
@@ -780,6 +870,26 @@ class HostComputeEMA:
         """Value-fetch barrier on the newest chunk (through the axon relay,
         block_until_ready does not reliably block)."""
         return float(self._probe(self._to_dev(self.chunks[-1])))
+
+
+class StagedEMAUpdate:
+    """Pending per-chunk EMA decay dispatches from HostComputeEMA.stage_update:
+    ``tick()`` once per grad dispatch of the next cycle (one decay rides each
+    gap), ``drain()`` before any graph that donates/overwrites the staged
+    params buffers."""
+
+    def __init__(self, thunks):
+        self._thunks = list(thunks)
+
+    def tick(self) -> None:
+        """Dispatch ONE pending chunk decay (no-op when drained)."""
+        if self._thunks:
+            self._thunks.pop(0)()
+
+    def drain(self) -> None:
+        """Dispatch every remaining chunk decay."""
+        while self._thunks:
+            self._thunks.pop(0)()
 
 
 def zero_grad_accumulator(params: Any, dtype: Any = jnp.float32):

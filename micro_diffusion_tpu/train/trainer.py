@@ -391,9 +391,11 @@ class Trainer:
         if self.state.ema_params is not None:
             d["ema_params"] = self.state.ema_params
         elif self._hc_ema is not None:
-            # hostcompute placement: materialize the pinned-host chunks into
-            # the checkpoint (params dtypes) so resume/eval see the same tree
-            d["ema_params"] = self._hc_ema.materialize()
+            # hostcompute placement: reassemble the pinned-host chunks into
+            # the checkpoint HOST-side (params dtypes) - the device
+            # materialize would transiently cost ~a chunk + the full tree of
+            # HBM next to the live train state (round-5 review finding)
+            d["ema_params"] = self._hc_ema.materialize_numpy()
         return d
 
     def _restore_template(self) -> Dict[str, Any]:
@@ -441,16 +443,28 @@ class Trainer:
                     loader=ocp.args.JsonRestore(),
                 ),
             )
-        except Exception:
-            # structure mismatch (checkpoint saved without EMA): retry without
-            template.pop("ema_params", None)
-            restored = self._ckpt_mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(template),
-                    loader=ocp.args.JsonRestore(),
-                ),
+        except Exception as exc:
+            if "ema_params" not in template:
+                raise
+            # structure mismatch (checkpoint saved without EMA): retry
+            # without - but SAY so, and keep the original error visible if
+            # the retry fails too (a corrupt checkpoint must not surface as
+            # a confusing second-order structure error)
+            self.print(
+                f"restore with EMA template failed ({str(exc)[:120]}); "
+                "retrying without ema_params"
             )
+            template.pop("ema_params", None)
+            try:
+                restored = self._ckpt_mgr.restore(
+                    step,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(template),
+                        loader=ocp.args.JsonRestore(),
+                    ),
+                )
+            except Exception:
+                raise exc
         self._apply_restored(restored["state"], weights_only=False)
         if hasattr(self.train_loader, "load_state_dict") and restored.get("loader"):
             self.train_loader.load_state_dict(restored["loader"])
@@ -499,14 +513,24 @@ class Trainer:
                 step,
                 args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
             )
-        except Exception:
+        except Exception as exc:
+            if "ema_params" not in template:
+                raise
             # structure mismatch (e.g. checkpoint saved without EMA, loading into an
-            # EMA-enabled stage): retry with the non-EMA template
-            template.pop("ema_params", None)
-            restored = mgr.restore(
-                step,
-                args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+            # EMA-enabled stage): retry with the non-EMA template - logged, and the
+            # original error is preserved if the retry fails too
+            self.print(
+                f"restore with EMA template failed ({str(exc)[:120]}); "
+                "retrying without ema_params"
             )
+            template.pop("ema_params", None)
+            try:
+                restored = mgr.restore(
+                    step,
+                    args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+                )
+            except Exception:
+                raise exc
         self._apply_restored(restored["state"], weights_only=weights_only)
         self.print(
             f"loaded {'weights' if weights_only else 'full state'} from "
@@ -526,16 +550,22 @@ class Trainer:
                 )
             self._hc_ema = None  # hostcompute EMA restarts at ema_start
             return
-        if self._ema_placement == "hostcompute" and "ema_params" in restored:
-            # rebuild the pinned-host chunks from the checkpointed EMA tree
-            # (the params contribution of every update rides the bf16 wire, so
-            # the restore wire's bf16 rounding matches the placement's
-            # documented numerics - PARITY.md EMA-storage row)
-            self._hc_ema = HostComputeEMA(
-                put(restored["ema_params"], self._p_sh),
-                self.ema_cfg["smoothing"],
-                offload=jax.default_backend() != "cpu",
-            )
+        if self._ema_placement == "hostcompute":
+            if "ema_params" in restored:
+                # rebuild the pinned-host chunks from the checkpointed EMA
+                # tree (the params contribution of every update rides the
+                # bf16 wire, so the restore wire's bf16 rounding matches the
+                # placement's documented numerics - PARITY.md EMA-storage row)
+                self._hc_ema = HostComputeEMA(
+                    put(restored["ema_params"], self._p_sh),
+                    self.ema_cfg["smoothing"],
+                    offload=jax.default_backend() != "cpu",
+                )
+            else:
+                # restored checkpoint carries no EMA (pre-ema_start save):
+                # drop any chunks from the abandoned trajectory - they restart
+                # fresh at ema_start
+                self._hc_ema = None
         if self.state.ema_params is None:
             ema = None
         elif "ema_params" in restored:

@@ -419,8 +419,14 @@ def run(args):
         # instead of serializing after the apply (the measured
         # 'never'~=drained failure, tune_results.jsonl 03:46/03:55 - the
         # round-5 lever, VERDICT r4 #4)
-        interleave = offload_ema and args.ema_drain == "interleave"
-        pending = []
+        # hostcompute only: HostEMA has no begin_update (its decay graphs
+        # round-trip on the device stream; nothing to interleave)
+        interleave = (args.ema and args.ema_mode == "hostcompute"
+                      and args.ema_drain == "interleave")
+        if args.ema_drain == "interleave" and not interleave:
+            raise SystemExit("--ema-drain interleave requires "
+                             "--ema --ema-mode hostcompute")
+        staged = [None]  # previous cycle's StagedEMAUpdate
 
         def step_cycle(state):
             acc = zero_fn(state.params)
@@ -428,13 +434,13 @@ def run(args):
             pystep[0] += 1
             for idx in range(args.accum):
                 acc = grad_fn(state.params, acc, mbatch, r, idx)
-                if pending:
-                    pending.pop(0)()  # one staged chunk decay rides this gap
-            while pending:
-                pending.pop(0)()
+                if staged[0] is not None:
+                    staged[0].tick()  # one chunk decay rides this gap
+            if staged[0] is not None:
+                staged[0].drain()  # leftovers before the donating apply
             state, metrics = apply_fn(state, acc, args.accum)
             if interleave:
-                pending.extend(host_ema_obj.begin_update(state.params, lazy=True))
+                staged[0] = host_ema_obj.stage_update(state.params, lazy=True)
                 return state, metrics
             if offload_ema:
                 if args.ema_drain == "always":

@@ -236,6 +236,15 @@ def test_hostcompute_ema_matches_fp32_decay():
         np.testing.assert_allclose(
             np.asarray(k_got, np.float32), np.asarray(k_ref), rtol=1e-6,
             atol=1e-6)
+    # host-side reassembly (the checkpoint path - zero params-sized device
+    # transients) must equal the device materialize exactly; the tiny
+    # chunk_bytes here forces boundary-spanning leaves through the stitch
+    got_np = ema.materialize_numpy()
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(got_np)):
+        assert b.dtype == np.dtype(a.dtype)
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # chunks survive the donating split jits: another update still works
+    ema.update(p1)
     assert np.isfinite(ema.block())
 
 
@@ -271,14 +280,18 @@ def test_hostcompute_ema_begin_update_interleaved_matches_update():
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
 
-    # lazy=True (per-chunk flatten at dispatch time - the HBM-edge staging:
-    # the eager full-flatten residency is a measured OOM at stage-4 mb8):
-    # same bit-exact result through the same interleaving
+    # lazy=True via the StagedEMAUpdate protocol (tick per grad gap + drain
+    # before the donating apply - the one-place invariant the bench/tune
+    # drivers use; lazy per-chunk flatten is the HBM-edge staging: the eager
+    # full-flatten residency is a measured OOM at stage-4 mb8): bit-exact.
     ema_c = HostComputeEMA(params, smoothing=0.9, offload=False, chunk_bytes=32)
     for upd in (p1, p2):
-        for t in ema_c.begin_update(upd, lazy=True):
-            other(params["a"])
-            t()
+        staged = ema_c.stage_update(upd, lazy=True)
+        staged.tick()  # one decay rides a simulated grad gap
+        other(params["a"])
+        staged.tick()
+        staged.drain()  # leftovers (n_chunks > gaps here)
+        staged.drain()  # idempotent
     for a, c in zip(jax.tree.leaves(ema_a.materialize()),
                     jax.tree.leaves(ema_c.materialize())):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
