@@ -763,6 +763,48 @@ def test_bench_partial_emission_protocol(monkeypatch, capsys):
     np.testing.assert_allclose(final["value"], tot_img / tot_t, rtol=1e-2)
 
 
+def test_bench_budget_ladder_trimming(monkeypatch, capsys):
+    """MDT_BENCH_BUDGET_S trimming: with the wall budget nearly spent, each
+    remaining stage gets only its lead rung (a cold fallback walk cannot
+    finish - the round-4 timeout failure mode)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
+    import bench
+
+    seen = {}
+
+    def fake_stage(name, latent_res, mask_ratio, ladder, timed_steps,
+                   use_ema=True):
+        key = name if use_ema else f"{name}-preema"
+        seen[key] = len(ladder)
+        return 100.0, 100.0, 8, "attn_moe", "onehot", "test", "fp32"
+
+    monkeypatch.setattr(bench, "bench_stage", fake_stage)
+    monkeypatch.setenv("MDT_BENCH_SAMPLING", "0")
+    monkeypatch.delenv("MDT_BENCH_QUICK", raising=False)
+    monkeypatch.delenv("MDT_BENCH_STAGES", raising=False)
+    # budget already "spent" at t_start: remaining() < 18% from the first
+    # stage on -> every ladder trims to its lead rung
+    monkeypatch.setenv("MDT_BENCH_BUDGET_S", "0.000001")
+    bench.main()
+    capsys.readouterr()
+    full = {name: len(ladder) for name, _, _, _, ladder in bench.STAGES}
+    for name, n in seen.items():
+        assert n == 1, (name, n)
+        base = name.replace("-preema", "")
+        assert full[base] > 1  # the trim actually dropped rungs
+
+    # generous budget: full ladders reach bench_stage untrimmed
+    seen.clear()
+    monkeypatch.setenv("MDT_BENCH_BUDGET_S", "1000000")
+    bench.main()
+    capsys.readouterr()
+    for name, _, _, _, ladder in bench.STAGES:
+        assert seen[name] == len(ladder), name
+
+
 def test_sharded_train_step_8_devices():
     """Full train step jitted over a (data=2, fsdp=2, tensor=2) mesh: dp grad sync,
     ZeRO-2 opt-state sharding, and expert-parallel MoE tensors."""
