@@ -124,8 +124,11 @@ STAGES = [
      # cotangents save at EVERY XL stage on a 16GB chip (stage-1 mb128 OOM
      # +598M, stage-4 mb8+EMA OOM +1.61G). It stays available for multi-chip
      # runs (sharded state) via train_step param_flow_dtype.
-     (("attn_moe", 128, "onehot"), ("attn_moe", 256, "onehot"),
-      ("attn_moe", 128, "hybrid"), ("attn_moe", 128), ("full", 128),
+     # mb256 (225.4 img/s, K=1 IS the recipe) sits BELOW the hybrid fallback:
+     # its graph is the 27-minute cold-compile worst case - as the first
+     # fallback it could eat the driver's whole bench budget on a bad epoch
+     (("attn_moe", 128, "onehot"), ("attn_moe", 128, "hybrid"),
+      ("attn_moe", 256, "onehot"), ("attn_moe", 128), ("full", 128),
       ("dots_attn_moe", 64, "onehot"), ("dots_attn_moe", 64, "hybrid"),
       ("dots", 64), ("full", 64), ("full", 32), ("full", 16))),
     # measured round 3 (lane flash): attn_moe onehot mb64 102.4 img/s bare ~=
