@@ -56,11 +56,11 @@ def make_fixture_batches(n_batches=2, batch=8, latent_res=32, cap_dim=64):
 
 
 def build_trainer(batches, max_steps, save_folder, metrics_path,
-                  autoresume=False):
+                  autoresume=False, dtype=jnp.float32):
     from micro_diffusion_tpu.train.callbacks import JSONLLogger
     from micro_diffusion_tpu.train.trainer import Trainer
 
-    dit = MicroDiT_Micro_2(caption_channels=64, dtype=jnp.float32)
+    dit = MicroDiT_Micro_2(caption_channels=64, dtype=dtype)
     model = LatentDiffusion(dit=dit, latent_res=32, train_mask_ratio=0.0,
                             latent_scale=1.0)
     return Trainer(
@@ -90,7 +90,13 @@ def main(argv=None):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_runs", "overfit_r5.json"))
     ap.add_argument("--workdir", default="/tmp/mdt_overfit_proof")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="module compute dtype: float32 for CPU (XLA:CPU "
+                    "cannot execute bf16 dots in this image); bfloat16 on "
+                    "the real chip = the PRODUCTION compute path")
     args = ap.parse_args(argv)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     os.makedirs(args.workdir, exist_ok=True)
     metrics_path = os.path.join(args.workdir, "metrics.jsonl")
@@ -102,7 +108,8 @@ def main(argv=None):
 
     t0 = time.time()
     # phase 1: train to steps/2, checkpoint at the end
-    tr = build_trainer(batches, half, save_folder, metrics_path)
+    tr = build_trainer(batches, half, save_folder, metrics_path,
+                       dtype=dtype)
     emb = jax.random.normal(jax.random.PRNGKey(42), (4, 1, 8, 64))
     gen_init = np.asarray(tr.model.generate(
         tr.eval_params(), text_embeddings=emb, guidance_scale=2.0,
@@ -111,7 +118,7 @@ def main(argv=None):
     # phase 2: a FRESH trainer autoresumes from the checkpoint - the product
     # recovery path over a real horizon, not a 1-step unit test
     tr = build_trainer(batches, args.steps, save_folder, metrics_path,
-                       autoresume=True)
+                       autoresume=True, dtype=dtype)
     assert tr.global_step == half, (tr.global_step, half)
     tr.fit()
     wall = time.time() - t0
@@ -134,7 +141,7 @@ def main(argv=None):
                 / np.linalg.norm(gen_init))
 
     rec = {
-        "model": "MicroDiT_Micro_2 (debug-scale, fp32)",
+        "model": f"MicroDiT_Micro_2 (debug-scale, {args.dtype})",
         "path": "Trainer (optimizer+EMA+checkpoint, autoresume mid-run)",
         "steps": args.steps,
         "resume_at": half,
