@@ -841,6 +841,23 @@ def main():
             return ladder[:2]
         return ladder
 
+    try:
+        _run_stages(stages, results, sampling, timed_steps, quick, trim,
+                    remaining, budget, emit_partial)
+        out = _build_out(results, quick, len(stages),
+                         sampling=sampling or None, partial=False)
+        snap["final_emitted"] = True
+        print(json.dumps(out), flush=True)
+    finally:
+        # restore pre-existing handlers even when a stage raises: in-process
+        # callers (tests) must not be left with a handler that os._exit(0)s
+        # their interpreter on Ctrl+C (round-5 review finding)
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+
+
+def _run_stages(stages, results, sampling, timed_steps, quick, trim,
+                remaining, budget, emit_partial):
     for name, res, mask, steps, ladder in stages:
         img_s, bare, mb, policy, moe, accum, flow = bench_stage(
             name, res, mask, trim(ladder, name), timed_steps
@@ -897,15 +914,6 @@ def main():
             log(f"[sampling] legs failed: {str(e)[:160]}")
     elif not quick:
         log(f"[sampling] skipped (budget: {remaining():.0f}s left)")
-
-    out = _build_out(results, quick, len(stages), sampling=sampling or None,
-                     partial=False)
-    snap["final_emitted"] = True
-    # restore pre-existing handlers: in-process callers (tests) must not be
-    # left with a handler that os._exit(0)s their interpreter on Ctrl+C
-    for s, h in prev_handlers.items():
-        signal.signal(s, h)
-    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

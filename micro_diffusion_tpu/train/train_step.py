@@ -776,7 +776,15 @@ class HostComputeEMA:
         """Per-chunk piece map: chunk k covers [(leaf_idx, lo, hi, whole)]
         where [lo, hi) indexes INTO the chunk and ``whole`` marks a leaf
         fully contained in it (the common case: 768MB chunks vs <=24MB
-        leaves; only boundary leaves split)."""
+        leaves; only boundary leaves split).
+
+        NOTE: this interval-intersection arithmetic also exists leaf-relative
+        in _chunk_flatten_fns (the lazy update wire) and as a running-offset
+        walk in materialize_numpy - three consumers of the same layout, kept
+        separate deliberately: the wire path's generated HLO is measured and
+        compile-cache-warmed, so it must not be perturbed by a shared-plan
+        refactor. Any change to chunking (self._bounds) must update all
+        three."""
         if getattr(self, "_plan", None) is not None:
             return self._plan
         sizes = []
@@ -831,7 +839,12 @@ class HostComputeEMA:
         them) are stitched eagerly."""
         plan = self._split_plan()
         fns = self._split_fns()
-        leaves = [None] * len(self._shapes)
+        # zero-size leaves overlap no chunk (start == end in the plan walk):
+        # seed them with empty arrays so the tree has no None holes
+        leaves = [
+            (jnp.zeros(shape, dt) if any(d == 0 for d in shape) else None)
+            for shape, dt in zip(self._shapes, self._dtypes)
+        ]
         partial = {}
         for k in range(len(self._bounds)):
             if not plan[k]:

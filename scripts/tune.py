@@ -324,6 +324,15 @@ def dump_hlo(args):
 
 
 def run(args):
+    # validate interleave UP FRONT (not just in the dispatch branch): a scan
+    # or accum=1 run with --ema-drain interleave would otherwise silently
+    # measure non-interleave semantics and mislabel the tune_results row
+    if args.ema_drain == "interleave" and not (
+            args.ema and args.ema_mode == "hostcompute"
+            and args.accum > 1 and args.accum_mode == "dispatch"):
+        raise SystemExit(
+            "--ema-drain interleave requires --ema --ema-mode hostcompute "
+            "--accum-mode dispatch --accum > 1")
     res, mask = STAGES[args.stage]
     model, params, rng = build(args.stage, args.remat, args.mb, args.moe, args.attn, args.xattn)
     sched = cosine_with_warmup(2.4e-4, 2500, 250_000, 0.33)
